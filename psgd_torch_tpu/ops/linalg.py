@@ -1,0 +1,253 @@
+"""L0 numerical utilities for PSGD on TPU.
+
+Pure-functional JAX re-designs of the reference's core numerical helpers
+(behavioral parity with /root/reference/psgd.py:46-155):
+
+  * ``norm_lower_bound_spd``  — cheap spectral-norm lower bound of an SPD
+    matrix via a k-dim subspace iteration (reference psgd.py:46-68).
+  * ``norm_lower_bound_skh``  — same scheme for skew-Hermitian matrices
+    (reference psgd.py:71-93).
+  * ``procrustes_step2/3``    — online orthogonal-Procrustes rotations that
+    keep Q approximately SPD, 2nd/3rd order expansions of exp(aR)
+    (reference psgd.py:101-155).
+  * ``lift2single``           — precision-lifting policy (psgd.py:96-98).
+
+Everything here is shape-static, branch-free (``jnp.where`` / ``lax`` control
+flow), jit-friendly, and complex-safe.  Randomness is explicit: callers pass a
+PRNG key.  Matmuls are MXU-friendly (row-major (k, n) @ (n, n) subspace
+iterations; n x n generator products in the Procrustes steps).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def real_dtype_of(dtype) -> jnp.dtype:
+    """Real counterpart of a (possibly complex) dtype."""
+    dtype = jnp.dtype(dtype)
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        return jnp.dtype(jnp.float32) if dtype == jnp.dtype(jnp.complex64) else jnp.dtype(jnp.float64)
+    return dtype
+
+
+def lifted_real_dtype(dtype) -> jnp.dtype:
+    """Real dtype with at least single precision (for L-constants etc.).
+
+    Mirrors the reference's ``lift2single`` policy (psgd.py:96-98): half and
+    bfloat16 are lifted to float32; float32/float64 pass through.
+    """
+    rd = real_dtype_of(dtype)
+    return jnp.dtype(jnp.float32) if jnp.finfo(rd).eps > 1e-6 else rd
+
+
+def lift2single(x: jax.Array) -> jax.Array:
+    """Lift half/bfloat16 (or their complex pairs) to single precision.
+
+    Reference parity: psgd.py:96-98.
+    """
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        return x  # complex64/128 already have eps < 1e-6
+    if jnp.finfo(x.dtype).eps > 1e-6:
+        return x.astype(jnp.float32)
+    return x
+
+
+def sgn(x: jax.Array) -> jax.Array:
+    """Complex-safe sign: x/|x| with sgn(0) = 0.
+
+    ``jnp.sign`` on complex inputs is unimplemented on some TPU runtimes, so
+    we lower it manually (torch.sgn parity, used in psgd.py:63).
+    """
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        a = jnp.abs(x)
+        return jnp.where(a == 0, jnp.zeros_like(x), x / jnp.where(a == 0, jnp.ones_like(a), a))
+    return jnp.sign(x)
+
+
+def _row_norms(v: jax.Array) -> jax.Array:
+    return jnp.sqrt(jnp.sum(jnp.real(v * jnp.conj(v)), axis=1, keepdims=True))
+
+
+def _subspace_norm_bound(a: jax.Array, normalizer: jax.Array, key: jax.Array,
+                         k: int, half_iters: int) -> jax.Array:
+    """Shared subspace-iteration core of the two norm lower bounds.
+
+    The initial k x n noise subspace is rotated so its centroid aligns with
+    the largest row of ``a`` (robustness for very low-rank matrices,
+    reference psgd.py:52-56); rows are re-normalized between half-iterations
+    but never orthonormalized — a rough bound is all PSGD needs.
+    """
+    tiny = jnp.asarray(jnp.finfo(real_dtype_of(a.dtype)).tiny, real_dtype_of(a.dtype))
+    a = a / normalizer
+    j = jnp.argmax(jnp.sum(jnp.real(a * jnp.conj(a)), axis=1))
+    aj = a[j]
+    v = jax.random.normal(key, (k, a.shape[1]), dtype=a.dtype)
+    v = aj + sgn(jnp.sum(aj * jnp.conj(v), axis=1, keepdims=True)) * v
+    for _ in range(half_iters):
+        v = v @ a
+        v = v / (_row_norms(v) + tiny)
+        v = v @ a
+    return normalizer * jnp.max(_row_norms(v))
+
+
+def norm_lower_bound_spd(a: jax.Array, key: jax.Array, k: int = 32,
+                         half_iters: int = 2) -> jax.Array:
+    """Cheap lower bound of the spectral norm of an SPD/HPD matrix.
+
+    Reference parity: psgd.py:46-68.  ``k=32`` suits fp32; use ``k=128`` for
+    bfloat16.  Normalizes by the max diagonal entry to avoid overflow.
+    Returns a real scalar in ``a``'s real dtype.
+    """
+    rd = real_dtype_of(a.dtype)
+    tiny = jnp.asarray(jnp.finfo(rd).tiny, rd)
+    normalizer = jnp.max(jnp.real(jnp.diagonal(a))) + tiny
+    return jnp.real(_subspace_norm_bound(a, normalizer, key, k, half_iters))
+
+
+def norm_lower_bound_skh(a: jax.Array, key: jax.Array, k: int = 32,
+                         half_iters: int = 2) -> jax.Array:
+    """Cheap lower bound of the spectral norm of a skew-Hermitian matrix.
+
+    Reference parity: psgd.py:71-93.  Normalizes by the max |entry|.
+    """
+    rd = real_dtype_of(a.dtype)
+    tiny = jnp.asarray(jnp.finfo(rd).tiny, rd)
+    normalizer = jnp.max(jnp.abs(a)) + tiny
+    return jnp.real(_subspace_norm_bound(a, normalizer, key, k, half_iters))
+
+
+def _real_trace_f32(m: jax.Array) -> jax.Array:
+    """Real part of trace, accumulated in (at least) float32."""
+    d = jnp.real(jnp.diagonal(m))
+    return jnp.sum(d.astype(lifted_real_dtype(d.dtype)))
+
+
+def procrustes_step2(q: jax.Array, key: jax.Array, max_step_size: float = 1 / 8,
+                     norm_k: int = 32) -> jax.Array:
+    """One online Procrustes rotation of Q, 2nd-order expansion of exp(aR).
+
+    Solves min_U ||U Q - I||_F over unitary U by rotating Q <- exp(aR) Q with
+    generator R = Q^H - Q, expanded to U ~ I + aR + (aR)^2/2.  The branchless
+    line search clamps a via tr(RQ) >= 0 and tr(RRQ).  Reference parity:
+    psgd.py:101-124.  Functional: returns the rotated Q.
+    """
+    rd = real_dtype_of(q.dtype)
+    tiny = jnp.asarray(jnp.finfo(rd).tiny, rd)
+    r = jnp.conj(q.T) - q
+    r = r / (norm_lower_bound_skh(r, key, k=norm_k) + tiny)
+    rq = r @ q
+    rrq = r @ rq
+    tr_rq = _real_trace_f32(rq)       # >= 0 by theory
+    tr_rrq = _real_trace_f32(rrq)     # line search needed if < 0
+    max_a = jnp.asarray(max_step_size, tr_rq.dtype)
+    safe_den = jnp.where(tr_rrq < 0, tr_rrq, -jnp.ones_like(tr_rrq))
+    a = jnp.where(tr_rrq < 0, jnp.minimum(-tr_rq / safe_den, max_a), max_a)
+    a = a.astype(rd)
+    return q + a * (rq + (0.5 * a) * rrq)
+
+
+def procrustes_step3(q: jax.Array, key: jax.Array, max_step_size: float = 1 / 3,
+                     norm_k: int = 32) -> jax.Array:
+    """One online Procrustes rotation of Q, 3rd-order expansion of exp(aR).
+
+    U ~ I + aR + (aR)^2/2 + (aR)^3/8 with the closed-form optimal step from
+    the larger root of the step-size quadratic; trace terms are computed in
+    at least float32.  Used in a short loop by the fit-P-directly (*4P)
+    geometries.  Reference parity: psgd.py:127-155.  Functional.
+    """
+    rd = real_dtype_of(q.dtype)
+    tiny = jnp.asarray(jnp.finfo(rd).tiny, rd)
+    r = jnp.conj(q.T) - q
+    r = r / (norm_lower_bound_skh(r, key, k=norm_k) + tiny)
+    rq = r @ q
+    rrq = r @ rq
+    rrrq = r @ rrq
+    tr_rq = _real_trace_f32(rq)       # >= 0 by theory
+    tr_rrq = _real_trace_f32(rrq)
+    tr_rrrq = _real_trace_f32(rrrq)   # <= 0 by theory
+    active = jnp.logical_and(tr_rq > 0, tr_rrrq < 0)
+    # larger root of: tr_rq + a * tr_rrq + (3/8) a^2 * tr_rrrq = 0
+    radicand = jnp.maximum(tr_rrq * tr_rrq - 1.5 * tr_rq * tr_rrrq, 0.0)
+    safe_den = jnp.where(active, 0.75 * tr_rrrq, -jnp.ones_like(tr_rrrq))
+    a = (-tr_rrq - jnp.sqrt(radicand)) / safe_den
+    a = jnp.minimum(a, jnp.asarray(max_step_size, a.dtype))
+    a = jnp.where(active, a, jnp.zeros_like(a)).astype(rd)
+    return q + a * (rq + (0.5 * a) * (rrq + (0.25 * a) * rrrq))
+
+
+def procrustes_loop3(q: jax.Array, key: jax.Array, max_iters: int = 10,
+                     rel_tol: float = 1e-3, norm_k: int = 32) -> jax.Array:
+    """Run up to ``max_iters`` 3rd-order Procrustes steps with early exit.
+
+    Exits once max|Q^H - Q| < rel_tol * max|Q| (Q nearly Hermitian), matching
+    the *4P update loops at reference psgd.py:446-449, 764-767, 1395-1398.
+    """
+    def not_done(carry):
+        i, qq = carry
+        asym = jnp.max(jnp.abs(jnp.conj(qq.T) - qq))
+        return jnp.logical_and(i < max_iters, asym >= rel_tol * jnp.max(jnp.abs(qq)))
+
+    def body(carry):
+        i, qq = carry
+        qq = procrustes_step3(qq, jax.random.fold_in(key, i), norm_k=norm_k)
+        return i + 1, qq
+
+    _, q = jax.lax.while_loop(not_done, body, (jnp.zeros((), jnp.int32), q))
+    return q
+
+
+def triu01(a: jax.Array) -> jax.Array:
+    """triu(A, 0) + triu(A, 1): cheap approximation of the R factor of
+    qr(I + A) for small A.  Reference parity: preconditioned...py:115-117."""
+    return jnp.triu(a) + jnp.triu(a, 1)
+
+
+def damped_pair_vg(g: jax.Array, key: jax.Array, damp: float = 2 ** -13):
+    """Return a (v, g + damp * mean|g| * v) pair for whitening-preconditioner
+    fitting; lower-bounds E[g g^T] for stability.  Reference parity:
+    preconditioned...py:50-67."""
+    v = jax.random.normal(key, g.shape, dtype=g.dtype)
+    return v, g + (damp * jnp.mean(jnp.abs(g))) * v
+
+
+def woodbury_identity(inv_a: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
+    """Rank-k update of a maintained inverse: inv(A + U V) from inv(A).
+
+    Functional version of the reference's in-place Woodbury update
+    (preconditioned...py:101-112): inv(A+UV) = invA - invA U (I + V invA U)^-1 V invA.
+    """
+    iau = inv_a @ u
+    via = v @ inv_a
+    k = u.shape[1]
+    eye = jnp.eye(k, dtype=inv_a.dtype)
+    small = lift2single(eye + v @ iau)
+    sol = jnp.linalg.solve(small, lift2single(via))
+    return inv_a - iau @ sol.astype(inv_a.dtype)
+
+
+def norm_lower_bound(a: jax.Array) -> jax.Array:
+    """Legacy row/column-energy spectral-norm lower bound with
+    ||A|| <= sqrt(2) * bound; handles A = 0 and extreme scales.
+    Reference parity: preconditioned...py:70-98.
+    """
+    max_abs = jnp.max(jnp.abs(a))
+    a_scaled = a / jnp.where(max_abs > 0, max_abs, jnp.ones_like(max_abs))
+    aa = jnp.real(a_scaled * jnp.conj(a_scaled))
+    value0 = jnp.max(jnp.sum(aa, axis=0))
+    value1 = jnp.max(jnp.sum(aa, axis=1))
+    use_rows = value0 > value1
+    # branchless: compute both candidate bounds, select
+    j0 = jnp.argmax(jnp.sum(aa, axis=0))
+    x0 = jnp.conj(a_scaled[:, j0]) @ a_scaled
+    x0n = jnp.linalg.norm(x0)
+    b0 = jnp.linalg.norm((x0 / jnp.where(x0n > 0, x0n, 1)) @ jnp.conj(a_scaled.T))
+    j1 = jnp.argmax(jnp.sum(aa, axis=1))
+    x1 = a_scaled @ jnp.conj(a_scaled[j1])
+    x1n = jnp.linalg.norm(x1)
+    b1 = jnp.linalg.norm(jnp.conj(a_scaled.T) @ (x1 / jnp.where(x1n > 0, x1n, 1)))
+    bound = jnp.where(use_rows, b0, b1)
+    return jnp.where(max_abs > 0, max_abs * bound, max_abs)

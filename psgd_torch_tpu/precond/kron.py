@@ -1,0 +1,635 @@
+"""Kronecker-factored PSGD preconditioners (L1 functional kernels), TPU-first.
+
+Functional JAX re-design of the reference's Kron family
+(/root/reference/psgd.py:161-513 for whitening, :657-829 for Newton-type).
+Capabilities covered:
+
+  * ``init_kron``     — per-tensor state (one factor per dim, dense matrix or
+    diagonal chosen by max_size / max_skew) plus a *static, hashable* plan of
+    einsum subscripts (reference builds live opt_einsum expressions at
+    psgd.py:161-263; here plans are plain strings derived from shapes so the
+    state is a pure, serializable pytree and everything jit-caches cleanly).
+  * one update function per local-coordinate geometry dQ:
+    EQ, QEP, QEQ, Q0.5EQ1.5 (default), QUAD, and the fit-P-directly QUAD4P and
+    PRO4P, each in gradient/momentum-whitening and Newton (V, Hvp) flavors.
+  * ``precond_grad``  — apply P = Q^H Q (or P itself for *4P) to a gradient.
+
+Design notes (TPU):
+  - All control flow is static (factor structure known from shapes) or
+    ``lax.cond`` on PRNG draws (the prob-0.01 factor balancing), so one XLA
+    program covers the whole update.
+  - The matmul-only geometries (QEQ / Q0.5EQ1.5 / QUAD / *4P) map directly to
+    the MXU; EQ's triangular solves go through lax.linalg in float32
+    (lift2single policy) and are kept for parity, not speed.
+  - L (Lipschitz-constant estimates) always lives in >= float32.
+  - State updates are pure: every function returns a new ``KronState``.
+"""
+
+from __future__ import annotations
+
+import string
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import opt_einsum
+
+from ..ops.linalg import (
+    lift2single,
+    lifted_real_dtype,
+    norm_lower_bound_spd,
+    procrustes_step2,
+    procrustes_loop3,
+    real_dtype_of,
+)
+
+# Canonical dQ geometry names.
+DQ_EQ = "EQ"
+DQ_QEP = "QEP"
+DQ_QEQ = "QEQ"
+DQ_QUAD = "QUAD"
+DQ_Q05EQ15 = "Q0.5EQ1.5"
+DQ_QUAD4P = "QUAD4P"
+DQ_PRO4P = "PRO4P"
+ALL_DQ = (DQ_EQ, DQ_QEP, DQ_QEQ, DQ_QUAD, DQ_Q05EQ15, DQ_QUAD4P, DQ_PRO4P)
+_FIT_P = frozenset({DQ_QUAD4P, DQ_PRO4P})
+
+
+def canonical_dq(dq: str) -> str:
+    dq = {"Q0p5EQ1p5": DQ_Q05EQ15}.get(dq, dq)
+    if dq not in ALL_DQ:
+        raise ValueError(f"Invalid dQ {dq!r}; valid choices: {ALL_DQ}")
+    return dq
+
+
+class KronPlan(NamedTuple):
+    """Static (hashable) contraction plan for one tensor's Kron preconditioner.
+
+    Subscript semantics (reference psgd.py:172-184):
+      subs_p : apply P = Q^H Q to a tensor, e.g. 'aA,bB,aα,bβ,αβ->AB'
+      subs_a : apply all Q factors once, e.g. 'aA,bB,AB->ab'
+      subs_gs[i] : contract two tensors over all dims but i
+      subs_qs[i] : apply factor i alone
+    """
+    shape: Tuple[int, ...]
+    is_diag: Tuple[bool, ...]
+    dq: str
+    subs_p: str
+    subs_a: str
+    subs_gs: Tuple[str, ...]
+    subs_qs: Tuple[str, ...]
+    numel: int
+
+    @property
+    def order(self) -> int:
+        return len(self.shape)
+
+    @property
+    def fits_p(self) -> bool:
+        return self.dq in _FIT_P
+
+
+class KronState(NamedTuple):
+    """Per-tensor Kron preconditioner state: factors Q and L-constants.
+
+    ``q`` is a tuple of arrays — a (n, n) matrix or an (n,) diagonal per dim
+    (scalar tensors get a single () factor).  ``lips`` is a tuple of scalar
+    Lipschitz-smoothness estimates in >= float32 (reference psgd.py:202-207).
+    A pure pytree: orbax-serializable, unlike the reference's live opt_einsum
+    expressions stored in optimizer state (SURVEY.md §5).
+    """
+    q: Tuple[jax.Array, ...]
+    lips: Tuple[jax.Array, ...]
+
+
+def _sym(i: int) -> str:
+    return opt_einsum.get_symbol(i)
+
+
+def make_kron_plan(shape: Tuple[int, ...], max_size: float = float("inf"),
+                   max_skew: float = 1.0, dq: str = DQ_Q05EQ15) -> KronPlan:
+    """Build the static contraction plan for a tensor shape.
+
+    Dim i gets a dense matrix factor unless ``size <= 1 or size > max_size or
+    size**2 > max_skew * numel`` (diagonal then) — reference psgd.py:208-210.
+    """
+    dq = canonical_dq(dq)
+    shape = tuple(int(s) for s in shape)
+    numel = 1
+    for s in shape:
+        numel *= s
+
+    if len(shape) == 0:  # scalar tensor: one scalar factor (psgd.py:189-195)
+        return KronPlan(shape=(), is_diag=(True,), dq=dq, subs_p=",,->",
+                        subs_a=",->", subs_gs=(",->",), subs_qs=(",->",), numel=1)
+
+    if len(shape) > 26:
+        raise ValueError(f"Tensors of order {len(shape)} > 26 are not supported")
+
+    # Three disjoint symbol sets per dim: row (output of Q), col, and a second
+    # col set for the P = Q^H Q chain.
+    row = [_sym(i) for i in range(len(shape))]
+    col = [_sym(i + 26) for i in range(len(shape))]
+    col2 = [_sym(i + 52) for i in range(len(shape))]
+
+    is_diag = tuple(
+        (s <= 1) or (s > max_size) or (s * s > max_skew * numel) for s in shape
+    )
+
+    # exprA: out[row...] = prod_i Q_i[row_i, col_i] * T[col...]
+    fac_a, in_a, out_a = [], [], []
+    # exprP: out[col...] = prod_i conj(Q_i)[row_i, col_i] Q_i[row_i, col2_i] T[col2...]
+    fac_p1, fac_p2, in_p, out_p = [], [], [], []
+    subs_gs, subs_qs = [], []
+    for i, diag in enumerate(is_diag):
+        if diag:
+            fac_a.append(row[i]); in_a.append(row[i]); out_a.append(row[i])
+            fac_p1.append(row[i]); fac_p2.append(row[i])
+            in_p.append(row[i]); out_p.append(row[i])
+        else:
+            fac_a.append(row[i] + col[i]); in_a.append(col[i]); out_a.append(row[i])
+            fac_p1.append(row[i] + col[i]); fac_p2.append(row[i] + col2[i])
+            in_p.append(col2[i]); out_p.append(col[i])
+
+        # exprGs[i]: contract X (with col[i] at dim i) against Y (col2[i] at
+        # dim i) over all other dims; diagonal dims keep a vector.
+        x_sub = "".join(col[i] if j == i else row[j] for j in range(len(shape)))
+        if diag:
+            subs_gs.append(f"{x_sub},{x_sub}->{col[i]}")
+            subs_qs.append(f"{col[i]},{x_sub}->{x_sub}")
+        else:
+            y_sub = "".join(col2[i] if j == i else row[j] for j in range(len(shape)))
+            subs_gs.append(f"{x_sub},{y_sub}->{col[i]}{col2[i]}")
+            subs_qs.append(f"{col[i]}{col2[i]},{y_sub}->{x_sub}")
+
+    subs_a = ",".join(fac_a) + "," + "".join(in_a) + "->" + "".join(out_a)
+    subs_p = (",".join(fac_p1) + "," + ",".join(fac_p2) + ","
+              + "".join(in_p) + "->" + "".join(out_p))
+    return KronPlan(shape=shape, is_diag=is_diag, dq=dq, subs_p=subs_p,
+                    subs_a=subs_a, subs_gs=tuple(subs_gs), subs_qs=tuple(subs_qs),
+                    numel=numel)
+
+
+def init_kron(shape: Tuple[int, ...], scale: float | jax.Array = 1.0,
+              max_size: float = float("inf"), max_skew: float = 1.0,
+              dq: str = DQ_Q05EQ15, dtype=jnp.float32) -> tuple[KronState, KronPlan]:
+    """Initialize Q = scale * I (factored) and L = 0 for a tensor shape.
+
+    For the fit-P-directly geometries the scale is squared (psgd.py:186-187).
+    ``scale`` may be a traced scalar (on-the-fly init support).
+    """
+    plan = make_kron_plan(shape, max_size=max_size, max_skew=max_skew, dq=dq)
+    state = init_kron_from_plan(plan, scale, dtype)
+    return state, plan
+
+
+def init_kron_from_plan(plan: KronPlan, scale: float | jax.Array = 1.0,
+                        dtype=jnp.float32) -> KronState:
+    scale = jnp.asarray(scale, real_dtype_of(dtype))
+    if plan.fits_p:
+        scale = scale * scale
+    l_dtype = lifted_real_dtype(dtype)
+    if plan.order == 0:
+        return KronState(q=(scale.astype(dtype) * jnp.ones((), dtype),),
+                         lips=(jnp.zeros((), l_dtype),))
+    factor_scale = (scale ** (1.0 / plan.order)).astype(dtype)
+    qs, lips = [], []
+    for size, diag in zip(plan.shape, plan.is_diag):
+        if diag:
+            qs.append(factor_scale * jnp.ones((size,), dtype))
+        else:
+            qs.append(factor_scale * jnp.eye(size, dtype=dtype))
+        lips.append(jnp.zeros((), l_dtype))
+    return KronState(q=tuple(qs), lips=tuple(lips))
+
+
+def balance_kron(q: Tuple[jax.Array, ...]) -> Tuple[jax.Array, ...]:
+    """Rescale factors to a common max-abs (geometric mean), preventing
+    over/underflow.  Reference parity: psgd.py:266-275."""
+    if len(q) <= 1:
+        return q
+    acc = lifted_real_dtype(q[0].dtype)
+    norms = [jnp.max(jnp.abs(f)).astype(acc) for f in q]
+    gmean = jnp.prod(jnp.stack(norms)) ** (1.0 / len(q))
+    return tuple(f * (gmean / n).astype(real_dtype_of(f.dtype))
+                 for f, n in zip(q, norms))
+
+
+def _maybe_balance(q, key, prob: float = 0.01):
+    """Balance factors with probability ``prob`` (lax.cond on a PRNG draw —
+    the jit-able analogue of the reference's torch.rand gate, psgd.py:318)."""
+    if len(q) <= 1:
+        return q
+    u = jax.random.uniform(key)
+    return jax.lax.cond(u < prob, balance_kron, lambda t: t, q)
+
+
+def _update_lips(lip: jax.Array, ell: jax.Array, beta_l: float) -> jax.Array:
+    """L <- max(betaL * L + (1 - betaL) * ell, ell), in L's (>=fp32) dtype."""
+    ell = jnp.real(ell).astype(lip.dtype)
+    return jnp.maximum(beta_l * lip + (1.0 - beta_l) * ell, ell)
+
+
+def _coeff(lr: float, lip: jax.Array, dtype) -> jax.Array:
+    """lr / L as a scalar castable onto factors of ``dtype``."""
+    return (lr / lip).astype(real_dtype_of(dtype))
+
+
+def precond_grad(state: KronState, plan: KronPlan, g: jax.Array) -> jax.Array:
+    """Pg: apply P = Q^H Q (or P itself for *4P geometries) to a tensor.
+
+    Reference parity: psgd.py:322-327 and the *4P apply at psgd.py:573."""
+    if plan.fits_p:
+        return jnp.einsum(plan.subs_a, *state.q, g)
+    return jnp.einsum(plan.subs_p, *[jnp.conj(f) for f in state.q], *state.q, g)
+
+
+def apply_all_factors(state: KronState, plan: KronPlan, g: jax.Array) -> jax.Array:
+    """A = Q g (apply every factor once)."""
+    return jnp.einsum(plan.subs_a, *state.q, g)
+
+
+def _damped(g: jax.Array, key: jax.Array, damping: float) -> jax.Array:
+    """g + (damping + eps(dtype)|g|) * randn — the whitening/Newton damping
+    that upper-bounds P as P < I/damping (psgd.py:334-336)."""
+    eps = jnp.finfo(real_dtype_of(g.dtype)).eps
+    d = damping + eps * jnp.abs(g)
+    return g + d * jax.random.normal(key, g.shape, g.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Whitening updates: fit Q from the gradient/momentum G only (v integrated out
+# analytically: term2 = numel/q.numel() for diag or numel/q.shape[0] * I for
+# matrix factors — reference psgd.py:379-385).
+# ---------------------------------------------------------------------------
+
+
+def _whiten_terms(plan: KronPlan, pg: jax.Array, i: int):
+    term1 = jnp.einsum(plan.subs_gs[i], pg, jnp.conj(pg))
+    return term1
+
+
+def update_kron_whiten(state: KronState, plan: KronPlan, g: jax.Array,
+                       key: jax.Array, lr: float = 0.1, beta_l: float = 0.9,
+                       damping: float = 1e-9, norm_k: int = 32) -> KronState:
+    """Dispatch one whitening update for the plan's dQ geometry.
+
+    Reference parity: update_precond_kron_whiten_* (psgd.py:330-513)."""
+    fn = _WHITEN_UPDATES[plan.dq]
+    return fn(state, plan, g, key, lr, beta_l, damping, norm_k)
+
+
+def _whiten_eq(state, plan, g, key, lr, beta_l, damping, norm_k):
+    """dQ = E*Q (triangular Q, needs right triangular solves) — psgd.py:330-336."""
+    kv, kd, krest = jax.random.split(key, 3)
+    v = jax.random.normal(kv, g.shape, g.dtype)
+    eps = jnp.finfo(real_dtype_of(g.dtype)).eps
+    h = g + (damping + eps * jnp.abs(g)) * v
+    return _update_eq_core(state, plan, v, h, krest, lr, beta_l, norm_k)
+
+
+def _update_eq_core(state, plan, v, h, key, lr, beta_l, norm_k):
+    """Raw EQ-geometry update with a (V, Hvp) pair — psgd.py:278-319.
+
+    conjB = V^H Q^-1 computed per-factor with the dim-rotation trick:
+    after the initial [1..n-1, 0] permute, factor i's axis sits last when it
+    is processed; a swap with the last axis restores natural order at the end.
+    """
+    q, lips = list(state.q), list(state.lips)
+    order = max(plan.order, 1)
+
+    a = jnp.einsum(plan.subs_a, *q, h)
+
+    if plan.order == 0:
+        conj_b = jnp.conj(v) / q[0]
+    else:
+        perm = list(range(1, plan.order)) + [0]
+        conj_b = jnp.transpose(jnp.conj(v), perm) if plan.order > 1 else jnp.conj(v)
+        for i, f in enumerate(q):
+            if f.ndim < 2:
+                conj_b = conj_b / f
+            else:
+                flat = conj_b.reshape(-1, f.shape[0])
+                sol = jax.lax.linalg.triangular_solve(
+                    lift2single(f), lift2single(flat), left_side=False, lower=False)
+                conj_b = sol.astype(conj_b.dtype).reshape(conj_b.shape)
+            if i < order - 1:
+                conj_b = jnp.swapaxes(conj_b, i, order - 1)
+
+    new_q, new_l = [], []
+    for i, f in enumerate(q):
+        term1 = jnp.einsum(plan.subs_gs[i], a, jnp.conj(a))
+        term2 = jnp.einsum(plan.subs_gs[i], jnp.conj(conj_b), conj_b)
+        if f.ndim < 2:
+            ell = jnp.max(jnp.real(term1 + term2))
+            lip = _update_lips(lips[i], ell, beta_l)
+            fq = f - _coeff(lr, lip, f.dtype) * (term1 - term2) * f
+        else:
+            ell = norm_lower_bound_spd(term1 + term2, jax.random.fold_in(key, i), k=norm_k)
+            lip = _update_lips(lips[i], ell, beta_l)
+            fq = f - _coeff(lr, lip, f.dtype) * (jnp.triu(term1 - term2) @ f)
+        new_q.append(fq); new_l.append(lip)
+
+    new_q = _maybe_balance(tuple(new_q), jax.random.fold_in(key, 101))
+    return KronState(q=new_q, lips=tuple(new_l))
+
+
+def _whiten_qep(state, plan, g, key, lr, beta_l, damping, norm_k):
+    """dQ = Q*E*P — balancing mandatory (L not scale invariant), psgd.py:339-364."""
+    q = balance_kron(state.q)
+    kd, krest = jax.random.split(key)
+    pg = jnp.einsum(plan.subs_p, *[jnp.conj(f) for f in q], *q, _damped(g, kd, damping))
+    new_q, new_l = [], []
+    for i, f in enumerate(q):
+        qpg = jnp.einsum(plan.subs_qs[i], f, pg)
+        term1 = jnp.einsum(plan.subs_gs[i], qpg, jnp.conj(qpg))
+        if f.ndim < 2:
+            term2 = (plan.numel / f.size) * f * jnp.conj(f)
+            ell = jnp.max(jnp.real(term1 + term2))
+            lip = _update_lips(state.lips[i], ell, beta_l)
+            fq = f * (1.0 - _coeff(lr, lip, f.dtype) * (term1 - term2))
+        else:
+            term2 = (plan.numel / f.shape[0]) * (f @ jnp.conj(f.T))
+            ell = norm_lower_bound_spd(term1 + term2, jax.random.fold_in(krest, i), k=norm_k)
+            lip = _update_lips(state.lips[i], ell, beta_l)
+            fq = f - _coeff(lr, lip, f.dtype) * ((term1 - term2) @ f)
+        new_q.append(fq); new_l.append(lip)
+    return KronState(q=tuple(new_q), lips=tuple(new_l))
+
+
+def _whiten_qeq(state, plan, g, key, lr, beta_l, damping, norm_k):
+    """dQ = Q*E*Q — psgd.py:367-391."""
+    kd, krest = jax.random.split(key)
+    q = state.q
+    pg = jnp.einsum(plan.subs_p, *[jnp.conj(f) for f in q], *q, _damped(g, kd, damping))
+    new_q, new_l = [], []
+    for i, f in enumerate(q):
+        term1 = jnp.einsum(plan.subs_gs[i], pg, jnp.conj(pg))
+        term2 = plan.numel / (f.size if f.ndim < 2 else f.shape[0])
+        if f.ndim < 2:
+            ell = jnp.max(jnp.real(term1)) + term2
+            lip = _update_lips(state.lips[i], ell, beta_l)
+            fq = f * (1.0 - _coeff(lr, lip, f.dtype) * (term1 - term2))
+        else:
+            ell = norm_lower_bound_spd(term1, jax.random.fold_in(krest, i), k=norm_k) + term2
+            lip = _update_lips(state.lips[i], ell, beta_l)
+            fq = f - _coeff(lr, lip, f.dtype) * (f @ term1 - f * term2)
+        new_q.append(fq); new_l.append(lip)
+    new_q = _maybe_balance(tuple(new_q), jax.random.fold_in(krest, 101))
+    return KronState(q=new_q, lips=tuple(new_l))
+
+
+def _whiten_q05eq15(state, plan, g, key, lr, beta_l, damping, norm_k):
+    """dQ = Q^0.5 * E * Q^1.5 (default; online Newton-Schulz) — psgd.py:394-419."""
+    kd, krest = jax.random.split(key)
+    q = state.q
+    pg = jnp.einsum(plan.subs_p, *[jnp.conj(f) for f in q], *q, _damped(g, kd, damping))
+    new_q, new_l = [], []
+    for i, f in enumerate(q):
+        term1 = jnp.einsum(plan.subs_gs[i], pg, jnp.conj(pg))
+        term2 = plan.numel / (f.size if f.ndim < 2 else f.shape[0])
+        if f.ndim < 2:
+            ell = jnp.max(jnp.real(term1)) + term2
+            lip = _update_lips(state.lips[i], ell, beta_l)
+            fq = f * (1.0 - _coeff(lr, lip, f.dtype) * (term1 - term2))
+        else:
+            ell = norm_lower_bound_spd(term1, jax.random.fold_in(krest, i), k=norm_k) + term2
+            lip = _update_lips(state.lips[i], ell, beta_l)
+            fq = f - _coeff(lr, lip, f.dtype) * (term1 @ f - term2 * f)
+            fq = procrustes_step2(fq, jax.random.fold_in(krest, i + 200), norm_k=norm_k)
+        new_q.append(fq); new_l.append(lip)
+    new_q = _maybe_balance(tuple(new_q), jax.random.fold_in(krest, 101))
+    return KronState(q=new_q, lips=tuple(new_l))
+
+
+def _whiten_pro4p(state, plan, g, key, lr, beta_l, damping, norm_k):
+    """dP = P^0.5 * E * P: fit P directly (Q here *is* P) — psgd.py:422-452."""
+    kd, krest = jax.random.split(key)
+    q = state.q
+    pg = jnp.einsum(plan.subs_a, *q, _damped(g, kd, damping))
+    new_q, new_l = [], []
+    for i, f in enumerate(q):
+        term1 = jnp.einsum(plan.subs_gs[i], pg, jnp.conj(pg))
+        term2 = plan.numel / (f.size if f.ndim < 2 else f.shape[0])
+        if f.ndim < 2:
+            ell = jnp.max(jnp.real(term1)) + term2
+            lip = _update_lips(state.lips[i], ell, beta_l)
+            fq = f * (1.0 - _coeff(lr, lip, f.dtype) * (term1 - term2))
+        else:
+            ell = norm_lower_bound_spd(term1, jax.random.fold_in(krest, i), k=norm_k) + term2
+            lip = _update_lips(state.lips[i], ell, beta_l)
+            fq = f - _coeff(lr, lip, f.dtype) * (term1 @ f - term2 * f)
+            fq = procrustes_loop3(fq, jax.random.fold_in(krest, i + 200), norm_k=norm_k)
+        new_q.append(fq); new_l.append(lip)
+    new_q = _maybe_balance(tuple(new_q), jax.random.fold_in(krest, 101))
+    return KronState(q=new_q, lips=tuple(new_l))
+
+
+def _whiten_quad(state, plan, g, key, lr, beta_l, damping, norm_k):
+    """Quadratic form keeping Q SPD — psgd.py:455-482."""
+    kd, krest = jax.random.split(key)
+    q = state.q
+    pg = jnp.einsum(plan.subs_p, *[jnp.conj(f) for f in q], *q, _damped(g, kd, damping))
+    return _quad_core(state, plan, q, pg, krest, lr, beta_l, norm_k, half_step=True)
+
+
+def _whiten_quad4p(state, plan, g, key, lr, beta_l, damping, norm_k):
+    """QUAD on P directly — psgd.py:485-513."""
+    kd, krest = jax.random.split(key)
+    q = state.q
+    pg = jnp.einsum(plan.subs_a, *q, _damped(g, kd, damping))
+    return _quad_core(state, plan, q, pg, krest, lr, beta_l, norm_k, half_step=False)
+
+
+def _quad_core(state, plan, q, pg, key, lr, beta_l, norm_k, half_step: bool):
+    step_div = 2.0 if half_step else 1.0
+    new_q, new_l = [], []
+    for i, f in enumerate(q):
+        term1 = jnp.einsum(plan.subs_gs[i], pg, jnp.conj(pg))
+        term2 = plan.numel / (f.size if f.ndim < 2 else f.shape[0])
+        if f.ndim < 2:
+            ell = jnp.max(jnp.real(term1)) + term2
+            lip = _update_lips(state.lips[i], ell, beta_l)
+            gain = 1.0 - _coeff(lr / step_div, lip, f.dtype) * (term1 - term2)
+            fq = f * gain * gain
+        else:
+            ell = norm_lower_bound_spd(term1, jax.random.fold_in(key, i), k=norm_k) + term2
+            lip = _update_lips(state.lips[i], ell, beta_l)
+            c = _coeff(lr / step_div, lip, f.dtype)
+            p = f - c * (term1 @ f - term2 * f)
+            p = p - c * (p @ term1 - term2 * p)
+            fq = 0.5 * (p + jnp.conj(p.T))
+        new_q.append(fq); new_l.append(lip)
+    new_q = _maybe_balance(tuple(new_q), jax.random.fold_in(key, 101))
+    return KronState(q=new_q, lips=tuple(new_l))
+
+
+_WHITEN_UPDATES = {
+    DQ_EQ: _whiten_eq,
+    DQ_QEP: _whiten_qep,
+    DQ_QEQ: _whiten_qeq,
+    DQ_Q05EQ15: _whiten_q05eq15,
+    DQ_PRO4P: _whiten_pro4p,
+    DQ_QUAD: _whiten_quad,
+    DQ_QUAD4P: _whiten_quad4p,
+}
+
+
+# ---------------------------------------------------------------------------
+# Newton-type updates: fit Q from a (V, Hvp) pair; term2 comes from V.
+# Reference parity: update_precond_kron_newton_* (psgd.py:657-829).
+# ---------------------------------------------------------------------------
+
+
+def update_kron_newton(state: KronState, plan: KronPlan, v: jax.Array,
+                       h: jax.Array, key: jax.Array, lr: float = 0.1,
+                       beta_l: float = 0.9, damping: float = 1e-9,
+                       norm_k: int = 32) -> KronState:
+    fn = _NEWTON_UPDATES[plan.dq]
+    return fn(state, plan, v, h, key, lr, beta_l, damping, norm_k)
+
+
+def _newton_eq(state, plan, v, h, key, lr, beta_l, damping, norm_k):
+    kd, krest = jax.random.split(key)
+    return _update_eq_core(state, plan, v, _damped(h, kd, damping), krest,
+                           lr, beta_l, norm_k)
+
+
+def _newton_qep(state, plan, v, h, key, lr, beta_l, damping, norm_k):
+    q = balance_kron(state.q)  # mandatory (psgd.py:672-673)
+    kd, krest = jax.random.split(key)
+    ph = jnp.einsum(plan.subs_p, *[jnp.conj(f) for f in q], *q, _damped(h, kd, damping))
+    new_q, new_l = [], []
+    for i, f in enumerate(q):
+        qph = jnp.einsum(plan.subs_qs[i], f, ph)
+        qv = jnp.einsum(plan.subs_qs[i], f, v)
+        term1 = jnp.einsum(plan.subs_gs[i], qph, jnp.conj(qph))
+        term2 = jnp.einsum(plan.subs_gs[i], qv, jnp.conj(qv))
+        if f.ndim < 2:
+            ell = jnp.max(jnp.real(term1 + term2))
+            lip = _update_lips(state.lips[i], ell, beta_l)
+            fq = f * (1.0 - _coeff(lr, lip, f.dtype) * (term1 - term2))
+        else:
+            ell = norm_lower_bound_spd(term1 + term2, jax.random.fold_in(krest, i), k=norm_k)
+            lip = _update_lips(state.lips[i], ell, beta_l)
+            fq = f - _coeff(lr, lip, f.dtype) * ((term1 - term2) @ f)
+        new_q.append(fq); new_l.append(lip)
+    return KronState(q=tuple(new_q), lips=tuple(new_l))
+
+
+def _newton_terms(plan, ph, v, i):
+    term1 = jnp.einsum(plan.subs_gs[i], ph, jnp.conj(ph))
+    term2 = jnp.einsum(plan.subs_gs[i], v, jnp.conj(v))
+    return term1, term2
+
+
+def _newton_qeq(state, plan, v, h, key, lr, beta_l, damping, norm_k):
+    kd, krest = jax.random.split(key)
+    q = state.q
+    ph = jnp.einsum(plan.subs_p, *[jnp.conj(f) for f in q], *q, _damped(h, kd, damping))
+    new_q, new_l = [], []
+    for i, f in enumerate(q):
+        term1, term2 = _newton_terms(plan, ph, v, i)
+        if f.ndim < 2:
+            ell = jnp.max(jnp.real(term1 + term2))
+            lip = _update_lips(state.lips[i], ell, beta_l)
+            fq = f * (1.0 - _coeff(lr, lip, f.dtype) * (term1 - term2))
+        else:
+            ell = norm_lower_bound_spd(term1 + term2, jax.random.fold_in(krest, i), k=norm_k)
+            lip = _update_lips(state.lips[i], ell, beta_l)
+            fq = f - _coeff(lr, lip, f.dtype) * (f @ (term1 - term2))
+        new_q.append(fq); new_l.append(lip)
+    new_q = _maybe_balance(tuple(new_q), jax.random.fold_in(krest, 101))
+    return KronState(q=new_q, lips=tuple(new_l))
+
+
+def _newton_q05eq15(state, plan, v, h, key, lr, beta_l, damping, norm_k):
+    kd, krest = jax.random.split(key)
+    q = state.q
+    ph = jnp.einsum(plan.subs_p, *[jnp.conj(f) for f in q], *q, _damped(h, kd, damping))
+    new_q, new_l = [], []
+    for i, f in enumerate(q):
+        term1, term2 = _newton_terms(plan, ph, v, i)
+        if f.ndim < 2:
+            ell = jnp.max(jnp.real(term1 + term2))
+            lip = _update_lips(state.lips[i], ell, beta_l)
+            fq = f * (1.0 - _coeff(lr, lip, f.dtype) * (term1 - term2))
+        else:
+            ell = norm_lower_bound_spd(term1 + term2, jax.random.fold_in(krest, i), k=norm_k)
+            lip = _update_lips(state.lips[i], ell, beta_l)
+            fq = f - _coeff(lr, lip, f.dtype) * ((term1 - term2) @ f)
+            fq = procrustes_step2(fq, jax.random.fold_in(krest, i + 200), norm_k=norm_k)
+        new_q.append(fq); new_l.append(lip)
+    new_q = _maybe_balance(tuple(new_q), jax.random.fold_in(krest, 101))
+    return KronState(q=new_q, lips=tuple(new_l))
+
+
+def _newton_pro4p(state, plan, v, h, key, lr, beta_l, damping, norm_k):
+    kd, krest = jax.random.split(key)
+    q = state.q
+    ph = jnp.einsum(plan.subs_a, *q, _damped(h, kd, damping))
+    new_q, new_l = [], []
+    for i, f in enumerate(q):
+        term1, term2 = _newton_terms(plan, ph, v, i)
+        if f.ndim < 2:
+            ell = jnp.max(jnp.real(term1 + term2))
+            lip = _update_lips(state.lips[i], ell, beta_l)
+            fq = f * (1.0 - _coeff(lr, lip, f.dtype) * (term1 - term2))
+        else:
+            ell = norm_lower_bound_spd(term1 + term2, jax.random.fold_in(krest, i), k=norm_k)
+            lip = _update_lips(state.lips[i], ell, beta_l)
+            fq = f - _coeff(lr, lip, f.dtype) * ((term1 - term2) @ f)
+            fq = procrustes_loop3(fq, jax.random.fold_in(krest, i + 200), norm_k=norm_k)
+        new_q.append(fq); new_l.append(lip)
+    new_q = _maybe_balance(tuple(new_q), jax.random.fold_in(krest, 101))
+    return KronState(q=new_q, lips=tuple(new_l))
+
+
+def _newton_quad_core(state, plan, v, h, key, lr, beta_l, damping, norm_k,
+                      half_step: bool):
+    kd, krest = jax.random.split(key)
+    q = state.q
+    if plan.fits_p:
+        ph = jnp.einsum(plan.subs_a, *q, _damped(h, kd, damping))
+    else:
+        ph = jnp.einsum(plan.subs_p, *[jnp.conj(f) for f in q], *q, _damped(h, kd, damping))
+    step_div = 2.0 if half_step else 1.0
+    new_q, new_l = [], []
+    for i, f in enumerate(q):
+        term1, term2 = _newton_terms(plan, ph, v, i)
+        if f.ndim < 2:
+            ell = jnp.max(jnp.real(term1 + term2))
+            lip = _update_lips(state.lips[i], ell, beta_l)
+            gain = 1.0 - _coeff(lr / step_div, lip, f.dtype) * (term1 - term2)
+            fq = f * gain * gain
+        else:
+            ell = norm_lower_bound_spd(term1 + term2, jax.random.fold_in(krest, i), k=norm_k)
+            lip = _update_lips(state.lips[i], ell, beta_l)
+            err = _coeff(lr / step_div, lip, f.dtype) * (term1 - term2)
+            p = f - err @ f
+            p = p - p @ err
+            fq = 0.5 * (p + jnp.conj(p.T))
+        new_q.append(fq); new_l.append(lip)
+    new_q = _maybe_balance(tuple(new_q), jax.random.fold_in(krest, 101))
+    return KronState(q=new_q, lips=tuple(new_l))
+
+
+def _newton_quad(state, plan, v, h, key, lr, beta_l, damping, norm_k):
+    return _newton_quad_core(state, plan, v, h, key, lr, beta_l, damping,
+                             norm_k, half_step=True)
+
+
+def _newton_quad4p(state, plan, v, h, key, lr, beta_l, damping, norm_k):
+    return _newton_quad_core(state, plan, v, h, key, lr, beta_l, damping,
+                             norm_k, half_step=False)
+
+
+_NEWTON_UPDATES = {
+    DQ_EQ: _newton_eq,
+    DQ_QEP: _newton_qep,
+    DQ_QEQ: _newton_qeq,
+    DQ_Q05EQ15: _newton_q05eq15,
+    DQ_PRO4P: _newton_pro4p,
+    DQ_QUAD: _newton_quad,
+    DQ_QUAD4P: _newton_quad4p,
+}

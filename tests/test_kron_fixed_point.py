@@ -1,0 +1,161 @@
+"""Fixed-point convergence tests for the Kron preconditioner family.
+
+Model: misc/psgd_kron_verification.py — build a synthetic SPD Hessian H of a
+known Kronecker structure, drive the preconditioner with (V, G=H V) pairs for
+N iterations with annealed lr, then assert |Pg - H^{-1} g| = |Pg - V| is small.
+For whitening, E[G G^H] = H^2 so P -> H^{-1} as well.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psgd_torch_tpu.precond import kron
+
+N_ITERS = 1500
+
+
+def _spread_diag(key, shape):
+    """Diagonal Hessian with a wide spectrum (cond ~ 100) so P = I is a bad
+    preconditioner and convergence to H^-1 is a meaningful assertion."""
+    u = jax.random.uniform(key, shape, jnp.float64)
+    return 10.0 ** (2.0 * u - 1.0)  # logspace(0.1, 10)
+
+
+def _spread_spd(key, n, dtype):
+    a = jax.random.normal(key, (n, n), dtype) / n ** 0.5
+    evals = jnp.diag(_spread_diag(jax.random.fold_in(key, 1), (n,)).astype(jnp.float64))
+    qm, _ = jnp.linalg.qr(a)
+    return (qm @ evals.astype(dtype) @ qm.conj().T).astype(dtype)
+
+
+def _case(name, dtype=jnp.float64):
+    """Returns (shape, H_apply, max_size, max_skew) for a synthetic Hessian."""
+    if name == "scalar":
+        h = jnp.asarray(3.7, jnp.float64)
+        return (), (lambda v: h.astype(dtype) * v), 0.0, 0.0
+    if name == "diag":
+        h = _spread_diag(jax.random.key(1), (10,))
+        return (10,), (lambda v: h.astype(dtype) * v), 0.0, 0.0
+    if name == "matrix":
+        h = _spread_spd(jax.random.key(2), 5, dtype)
+        return (5,), (lambda v: h @ v), float("inf"), float("inf")
+    if name == "kron_diag_diag":
+        h1 = _spread_diag(jax.random.key(3), (10, 1))
+        h2 = _spread_diag(jax.random.key(4), (1, 3))
+        return (10, 3), (lambda v: h1.astype(dtype) * v * h2.astype(dtype)), 0.0, 0.0
+    if name == "kron_diag_matrix":
+        h1 = _spread_diag(jax.random.key(5), (10, 1))
+        h2 = _spread_spd(jax.random.key(6), 5, dtype)
+        return (10, 5), (lambda v: h1.astype(dtype) * (v @ h2)), 7.0, float("inf")
+    if name == "kron_matrix_diag":
+        h1 = _spread_spd(jax.random.key(7), 5, dtype)
+        h2 = _spread_diag(jax.random.key(8), (1, 10))
+        return (5, 10), (lambda v: (h1 @ v) * h2.astype(dtype)), 7.0, float("inf")
+    if name == "kron_matrix_matrix":
+        h1 = _spread_spd(jax.random.key(9), 5, dtype)
+        h2 = _spread_spd(jax.random.key(10), 7, dtype)
+        return (5, 7), (lambda v: h1 @ v @ h2), float("inf"), float("inf")
+    if name == "kron3":
+        h1 = _spread_spd(jax.random.key(20), 3, dtype)
+        h2 = _spread_spd(jax.random.key(21), 4, dtype)
+        h3 = _spread_spd(jax.random.key(22), 5, dtype)
+        return (3, 4, 5), (lambda v: jnp.einsum("li,mj,nk,ijk->lmn", h1, h2, h3, v)), \
+            float("inf"), float("inf")
+    raise ValueError(name)
+
+
+def _run_fixed_point(name, dq, mode, dtype=jnp.float64, n_iters=N_ITERS):
+    shape, h_apply, max_size, max_skew = _case(name, dtype)
+    state, plan = kron.init_kron(shape, 1.0, max_size, max_skew, dq, dtype)
+    import zlib
+    root = jax.random.key(zlib.crc32(f"{name}/{dq}/{mode}".encode()))
+
+    def step(state, i):
+        k = jax.random.fold_in(root, i)
+        kv, ku = jax.random.split(k)
+        v = jax.random.normal(kv, shape, dtype)
+        g = h_apply(v)
+        lr = (1.0 - i / n_iters) / 2.0
+        if mode == "whiten":
+            state = kron.update_kron_whiten(state, plan, g, ku, lr=lr, damping=0.0)
+        else:
+            state = kron.update_kron_newton(state, plan, v, g, ku, lr=lr, damping=0.0)
+        return state, None
+
+    state, _ = jax.lax.scan(step, state, jnp.arange(n_iters))
+
+    # RMS relative error of Pg vs H^-1 g = v, averaged over fresh probes:
+    # the per-sample whitening fit has irreducible O(sqrt(lr)) jitter around
+    # the fixed point, so a single max-abs probe is too noisy to assert on.
+    errs, scales = [], []
+    for t in range(8):
+        kv = jax.random.fold_in(root, n_iters + 1 + t)
+        v = jax.random.normal(kv, shape, dtype)
+        g = h_apply(v)
+        pg = kron.precond_grad(state, plan, g)
+        errs.append(float(jnp.sum(jnp.abs(pg - v) ** 2)))
+        scales.append(float(jnp.sum(jnp.abs(v) ** 2)))
+    return (sum(errs) / sum(scales)) ** 0.5
+
+
+ALL_FORMS = ["scalar", "diag", "matrix", "kron_diag_diag", "kron_diag_matrix",
+             "kron_matrix_diag", "kron_matrix_matrix", "kron3"]
+CORE_FORMS = ["diag", "matrix", "kron_matrix_matrix"]
+# The synthetic H have condition >= 100, so the trivial P = I gives RMS
+# relative error >> 1; converging below TOL demonstrates a real H^-1 fit.
+TOL = 0.30
+
+
+@pytest.mark.parametrize("mode", ["whiten", "newton"])
+@pytest.mark.parametrize("name", ALL_FORMS)
+def test_default_geometry_all_forms(name, mode):
+    err = _run_fixed_point(name, "Q0.5EQ1.5", mode)
+    assert err < TOL, f"{name}/{mode}: relative error {err}"
+
+
+@pytest.mark.parametrize("mode", ["whiten", "newton"])
+@pytest.mark.parametrize("dq", ["EQ", "QEP", "QEQ", "QUAD", "QUAD4P", "PRO4P"])
+@pytest.mark.parametrize("name", CORE_FORMS)
+def test_other_geometries_core_forms(name, dq, mode):
+    err = _run_fixed_point(name, dq, mode)
+    assert err < TOL, f"{name}/{dq}/{mode}: relative error {err}"
+
+
+@pytest.mark.parametrize("mode", ["whiten", "newton"])
+@pytest.mark.parametrize("name", ["matrix", "kron_matrix_matrix"])
+def test_complex_support(name, mode):
+    err = _run_fixed_point(name, "Q0.5EQ1.5", mode, dtype=jnp.complex128)
+    assert err < TOL, f"complex {name}/{mode}: relative error {err}"
+
+
+def test_plan_structure():
+    plan = kron.make_kron_plan((10, 50), max_size=20)
+    assert plan.is_diag == (False, True)
+    plan = kron.make_kron_plan((10, 50), max_skew=1.5)
+    assert plan.is_diag == (False, True)
+    plan = kron.make_kron_plan((4, 4, 4))
+    assert plan.is_diag == (False, False, False)
+    plan = kron.make_kron_plan(())
+    assert plan.is_diag == (True,)
+    # plans are hashable (static jit args) and state is a pure pytree
+    hash(plan)
+    state = kron.init_kron_from_plan(plan)
+    jax.tree_util.tree_map(lambda x: x, state)
+
+
+def test_precond_grad_matches_dense_kron():
+    # P = Q^H Q applied via einsum plan must equal the explicit Kron product
+    state, plan = kron.init_kron((4, 3), 1.0, max_size=float("inf"),
+                                 max_skew=float("inf"))
+    k = jax.random.key(0)
+    q1 = jax.random.normal(k, (4, 4), jnp.float64)
+    q2 = jax.random.normal(jax.random.key(1), (3, 3), jnp.float64)
+    state = kron.KronState(q=(q1, q2), lips=state.lips)
+    g = jax.random.normal(jax.random.key(2), (4, 3), jnp.float64)
+    got = kron.precond_grad(state, plan, g)
+    want = (q1.T @ q1) @ g @ (q2.T @ q2).T
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-10)
