@@ -1,0 +1,16 @@
+"""L2 optimizer layer: optax-style PSGD transforms + Hvp helpers."""
+
+from .hvp import hvp_exact, hvp_finite_diff, make_hvp_fn, rand_like_tree
+from .transforms import (
+    PSGDState,
+    dense_newton,
+    kron_newton,
+    kron_whiten,
+    lra_newton,
+    lra_whiten,
+    scale_by_dense_newton,
+    scale_by_kron_newton,
+    scale_by_kron_whiten,
+    scale_by_lra_newton,
+    scale_by_lra_whiten,
+)

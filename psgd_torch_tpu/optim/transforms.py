@@ -1,0 +1,638 @@
+"""Optax-style PSGD optimizer transforms (the L2 layer, TPU-first).
+
+The reference packages its optimizers as closure-based classes
+(/root/reference/psgd.py: KronWhiten:516, KronNewton:832, LRAWhiten:1075,
+LRANewton:1201, DenseNewton:1427) whose step() runs autograd internally.  In
+JAX the idiomatic equivalent is an ``optax.GradientTransformation``:
+
+    opt = kron_whiten(learning_rate=1e-3, momentum=0.9)
+    state = opt.init(params)
+    updates, state = opt.update(grads, state, params)
+    params = optax.apply_updates(params, updates)
+
+Differences by design (not omissions):
+  * state is a pure pytree (serializable with orbax; the reference stores
+    live opt_einsum objects in optimizer state and cannot be checkpointed,
+    SURVEY.md §5);
+  * stochastic gates (update probability, factor balancing, U-vs-V choice)
+    are lax.cond on PRNG draws threaded through the state — bitwise identical
+    across SPMD replicas, which replaces the reference DDP wrapper's
+    RNG-state-synchronization machinery (wrapped_as_torch_optimizer_for_ddp.py:88-104);
+  * Newton-type transforms take Hessian-vector products through optax
+    extra-args (``hvp_fn`` computed with jax.jvp, see optim/hvp.py) instead
+    of double-backward closures.
+
+Hyperparameter semantics and defaults follow the reference classes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.linalg import real_dtype_of
+from ..precond import dense as dense_p
+from ..precond import kron as kron_p
+from ..precond import lra as lra_p
+from .hvp import rand_like_tree
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _squeezed_shape(shape) -> Tuple[int, ...]:
+    """Drop singleton dims (reference squeezes grads, psgd.py:597)."""
+    return tuple(int(s) for s in shape if int(s) != 1)
+
+
+def _ema_update(mu, g, count, momentum):
+    """Bias-warmed EMA: beta = min(count / (count+1), momentum)
+    (psgd.py:604-611)."""
+    beta = jnp.minimum(count / (count + 1.0), momentum)
+
+    def upd(m, x):
+        b = beta.astype(real_dtype_of(x.dtype))
+        return b * m + (1.0 - b) * x
+
+    return jax.tree_util.tree_map(upd, mu, g)
+
+
+def _amp_clip(g: jax.Array, max_avg_amp: float, max_element_amp: float) -> jax.Array:
+    """Per-tensor RMS + elementwise amplitude clipping (psgd.py:642-651).
+    The RMS is accumulated in float32 (bf16 would over/underflow)."""
+    avg_amp = jnp.sqrt(jnp.mean(jnp.real(g * jnp.conj(g)).astype(jnp.float32)))
+    g = g * jnp.minimum(1.0, max_avg_amp / jnp.maximum(avg_amp, 1e-30)).astype(
+        real_dtype_of(g.dtype))
+    if jnp.issubdtype(g.dtype, jnp.complexfloating):
+        g = g / jnp.maximum(jnp.abs(g) / max_element_amp, 1.0)
+    else:
+        g = jnp.clip(g, -max_element_amp, max_element_amp)
+    return g
+
+
+def _global_norm_scale(tree, max_norm: float):
+    """Trust-region scale min(1, max_norm / ||tree||) (psgd.py:967-971)."""
+    if math.isinf(max_norm):
+        return 1.0
+    sq = sum(jnp.sum(jnp.real(x * jnp.conj(x))) for x in jax.tree_util.tree_leaves(tree))
+    norm = jnp.sqrt(sq)
+    return jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-38))
+
+
+def _whiten_scale_from_grads(leaves, damping):
+    """On-the-fly init scale (mean|g|^4 + damping^4)^(-1/8), max over tensors
+    (psgd.py:599-602).  Computed in float32."""
+    m = jnp.stack([jnp.mean(jnp.abs(g.astype(jnp.float32)) ** 4) for g in leaves]).max()
+    return (m + damping ** 4) ** (-1.0 / 8.0)
+
+
+def _newton_scale_from_vh(v_leaves, h_leaves, damping):
+    """(mean|v|^2)^(1/4) * (mean|h|^4 + damping^4)^(-1/8) (psgd.py:940-943)."""
+    numel = sum(v.size for v in v_leaves)
+    v2 = sum(jnp.sum(jnp.abs(v.astype(jnp.float32)) ** 2) for v in v_leaves) / numel
+    h4 = jnp.stack([jnp.mean(jnp.abs(h.astype(jnp.float32)) ** 4) for h in h_leaves]).max()
+    return v2 ** 0.25 * (h4 + damping ** 4) ** (-1.0 / 8.0)
+
+
+def _rescale_kron_if(count0, kron_states, plans, scale):
+    """Multiply Q by scale (squared for fit-P geometries) on the first step —
+    the functional analogue of on-the-fly init (psgd.py:599-602)."""
+    out = []
+    for st, plan in zip(kron_states, plans):
+        eff = scale * scale if plan.fits_p else scale
+        order = max(plan.order, 1)
+        mult = jnp.where(count0, eff ** (1.0 / order), 1.0)
+        out.append(kron_p.KronState(
+            q=tuple(q * mult.astype(real_dtype_of(q.dtype)) for q in st.q),
+            lips=st.lips))
+    return out
+
+
+class PSGDState(NamedTuple):
+    """Common optimizer state: step count, PRNG key, momentum, preconditioner."""
+    count: jax.Array
+    key: jax.Array
+    mu: Any
+    precond: Any
+
+
+# ---------------------------------------------------------------------------
+# Kron whitening (flagship; reference class KronWhiten, psgd.py:516-654)
+# ---------------------------------------------------------------------------
+
+
+def scale_by_kron_whiten(
+    preconditioner_max_size: float = float("inf"),
+    preconditioner_max_skew: float = 1.0,
+    preconditioner_init_scale: Optional[float] = None,
+    lr_preconditioner: float = 0.1,
+    betaL: float = 0.9,
+    damping: float = 1e-9,
+    momentum: float = 0.0,
+    grad_clip_max_amps: Tuple[float, float] = (2.0, 10.0),
+    preconditioner_update_probability: float = 1.0,
+    update_preconditioner_first: bool = True,
+    whiten_grad: bool = True,
+    dq: str = "Q0.5EQ1.5",
+    preconditioner_dtype: Any = None,
+    norm_k: int = 32,
+    seed: int = 0,
+) -> optax.GradientTransformation:
+    """Kronecker-factored gradient/momentum whitening preconditioner.
+
+    Emits the clipped preconditioned gradient (chain with
+    ``optax.scale_by_learning_rate``).  Hyperparameters follow the reference
+    KronWhiten class; ``whiten_grad=False`` whitens the momentum instead and
+    requires ``momentum > 0`` (psgd.py:561-564).
+    """
+    dq = kron_p.canonical_dq(dq)
+    momentum = momentum if 0.0 < momentum < 1.0 else 0.0
+    if not whiten_grad and momentum == 0.0:
+        raise ValueError("Cannot whiten momentum with momentum == 0")
+
+    def _plans(leaves):
+        return [kron_p.make_kron_plan(_squeezed_shape(g.shape),
+                                      preconditioner_max_size,
+                                      preconditioner_max_skew, dq)
+                for g in leaves]
+
+    def _qdtype(leaf):
+        return preconditioner_dtype if preconditioner_dtype is not None else leaf.dtype
+
+    def init_fn(params):
+        leaves = jax.tree_util.tree_leaves(params)
+        plans = _plans(leaves)
+        scale0 = 1.0 if preconditioner_init_scale is None else preconditioner_init_scale
+        kron_states = [kron_p.init_kron_from_plan(p, scale0, _qdtype(l))
+                       for p, l in zip(plans, leaves)]
+        mu = jax.tree_util.tree_map(jnp.zeros_like, params) if momentum > 0 else None
+        return PSGDState(count=jnp.zeros((), jnp.int32), key=jax.random.PRNGKey(seed),
+                         mu=mu, precond=tuple(kron_states))
+
+    def update_fn(updates, state, params=None):
+        del params
+        leaves, treedef = jax.tree_util.tree_flatten(updates)
+        plans = _plans(leaves)
+        sq = [g.reshape(_squeezed_shape(g.shape)) for g in leaves]
+
+        kron_states = list(state.precond)
+        if preconditioner_init_scale is None:
+            scale = _whiten_scale_from_grads(sq, damping)
+            kron_states = _rescale_kron_if(state.count == 0, kron_states, plans, scale)
+
+        # momentum EMA (bias-warmed)
+        if momentum > 0:
+            mu = _ema_update(state.mu, updates, state.count, momentum)
+            mu_leaves = jax.tree_util.tree_leaves(mu)
+        else:
+            mu, mu_leaves = None, None
+
+        key, k_gate, k_fit = jax.random.split(state.key, 3)
+        do_update = jax.random.uniform(k_gate) < preconditioner_update_probability
+
+        fit_sources = sq if whiten_grad else [
+            m.reshape(_squeezed_shape(m.shape)) for m in mu_leaves]
+
+        def fit_all(states):
+            out = []
+            for i, (st, plan, src) in enumerate(zip(states, plans, fit_sources)):
+                src = src.astype(st.q[0].dtype)
+                out.append(kron_p.update_kron_whiten(
+                    st, plan, src, jax.random.fold_in(k_fit, i),
+                    lr=lr_preconditioner, beta_l=betaL, damping=damping,
+                    norm_k=norm_k))
+            return tuple(out)
+
+        def apply_all(states):
+            # precondition the momentum if enabled, else the gradient
+            # (psgd.py:628-631) — independent of what Q is fitted on.
+            srcs = ([m.reshape(_squeezed_shape(m.shape)) for m in mu_leaves]
+                    if momentum > 0 else sq)
+            out = []
+            for st, plan, src, g in zip(states, plans, srcs, leaves):
+                pg = kron_p.precond_grad(st, plan, src.astype(st.q[0].dtype))
+                pg = _amp_clip(pg.astype(g.dtype), *grad_clip_max_amps)
+                out.append(pg.reshape(g.shape))
+            return out
+
+        states_t = tuple(kron_states)
+        if update_preconditioner_first:  # biased update (psgd.py:615-618)
+            states_t = jax.lax.cond(do_update, fit_all, lambda s: s, states_t)
+            pre = apply_all(states_t)
+        else:  # unbiased: precondition with the pre-update Q
+            pre = apply_all(states_t)
+            states_t = jax.lax.cond(do_update, fit_all, lambda s: s, states_t)
+
+        new_state = PSGDState(count=state.count + 1, key=key, mu=mu,
+                              precond=states_t)
+        return jax.tree_util.tree_unflatten(treedef, pre), new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def kron_whiten(learning_rate: float | Callable = 1e-3,
+                weight_decay: float = 0.0, **kwargs) -> optax.GradientTransformation:
+    """KronWhiten optimizer: whitening transform + decoupled weight decay +
+    -lr scaling.  Matches reference defaults (lr_params=1e-3)."""
+    txs = [scale_by_kron_whiten(**kwargs)]
+    if weight_decay:
+        txs.append(optax.add_decayed_weights(weight_decay))
+    txs.append(optax.scale_by_learning_rate(learning_rate))
+    return optax.chain(*txs)
+
+
+# ---------------------------------------------------------------------------
+# Kron Newton (reference class KronNewton, psgd.py:832-978)
+# ---------------------------------------------------------------------------
+
+
+def scale_by_kron_newton(
+    preconditioner_max_size: float = float("inf"),
+    preconditioner_max_skew: float = 1.0,
+    preconditioner_init_scale: Optional[float] = None,
+    lr_preconditioner: float = 0.1,
+    betaL: float = 0.9,
+    damping: float = 1e-9,
+    momentum: float = 0.0,
+    grad_clip_max_norm: float = float("inf"),
+    preconditioner_update_probability: float = 1.0,
+    dq: str = "Q0.5EQ1.5",
+    preconditioner_dtype: Any = None,
+    norm_k: int = 32,
+    seed: int = 0,
+) -> optax.GradientTransformationExtraArgs:
+    """Kron Newton-type preconditioner fed by Hessian-vector products.
+
+    ``update`` takes either ``hvp_fn(params, vs) -> (grads, hvs)`` (the
+    preconditioner draws vs and evaluates the Hvp only on update steps, under
+    lax.cond — mirroring the update-probability gating of the reference,
+    psgd.py:914) or explicit ``vs``/``hvs`` pytrees.
+    """
+    dq = kron_p.canonical_dq(dq)
+    momentum = momentum if 0.0 < momentum < 1.0 else 0.0
+
+    def _plans(leaves):
+        return [kron_p.make_kron_plan(_squeezed_shape(g.shape),
+                                      preconditioner_max_size,
+                                      preconditioner_max_skew, dq)
+                for g in leaves]
+
+    def _qdtype(leaf):
+        return preconditioner_dtype if preconditioner_dtype is not None else leaf.dtype
+
+    def init_fn(params):
+        leaves = jax.tree_util.tree_leaves(params)
+        plans = _plans(leaves)
+        scale0 = 1.0 if preconditioner_init_scale is None else preconditioner_init_scale
+        kron_states = [kron_p.init_kron_from_plan(p, scale0, _qdtype(l))
+                       for p, l in zip(plans, leaves)]
+        mu = jax.tree_util.tree_map(jnp.zeros_like, params) if momentum > 0 else None
+        return PSGDState(count=jnp.zeros((), jnp.int32), key=jax.random.PRNGKey(seed),
+                         mu=mu, precond=tuple(kron_states))
+
+    def update_fn(updates, state, params=None, *, hvp_fn=None, vs=None,
+                  hvs=None, **extra):
+        del extra
+        leaves, treedef = jax.tree_util.tree_flatten(updates)
+        plans = _plans(leaves)
+
+        key, k_gate, k_v, k_fit = jax.random.split(state.key, 4)
+
+        def fit_all(states, v_leaves, h_leaves):
+            v_sq = [v.reshape(_squeezed_shape(v.shape)) for v in v_leaves]
+            h_sq = [h.reshape(_squeezed_shape(h.shape)) for h in h_leaves]
+            if preconditioner_init_scale is None:
+                scale = _newton_scale_from_vh(v_sq, h_sq, damping)
+                states = _rescale_kron_if(state.count == 0, states, plans, scale)
+            out = []
+            for i, (st, plan, v, h) in enumerate(zip(states, plans, v_sq, h_sq)):
+                out.append(kron_p.update_kron_newton(
+                    st, plan, v.astype(st.q[0].dtype), h.astype(st.q[0].dtype),
+                    jax.random.fold_in(k_fit, i), lr=lr_preconditioner,
+                    beta_l=betaL, damping=damping, norm_k=norm_k))
+            return tuple(out)
+
+        states_t = tuple(state.precond)
+        if hvp_fn is not None:
+            if params is None:
+                raise ValueError("kron_newton with hvp_fn requires params")
+            pred = jnp.logical_or(
+                jax.random.uniform(k_gate) < preconditioner_update_probability,
+                state.count == 0)
+
+            def fit_branch(states):
+                vs_ = rand_like_tree(k_v, params)
+                _, hvs_ = hvp_fn(params, vs_)
+                return fit_all(states, jax.tree_util.tree_leaves(vs_),
+                               jax.tree_util.tree_leaves(hvs_))
+
+            states_t = jax.lax.cond(pred, fit_branch, lambda s: s, states_t)
+        elif vs is not None and hvs is not None:
+            states_t = fit_all(states_t, jax.tree_util.tree_leaves(vs),
+                               jax.tree_util.tree_leaves(hvs))
+        else:
+            raise ValueError("kron_newton requires hvp_fn or explicit (vs, hvs)")
+
+        if momentum > 0:
+            mu = _ema_update(state.mu, updates, state.count, momentum)
+            srcs = jax.tree_util.tree_leaves(mu)
+        else:
+            mu, srcs = None, leaves
+
+        pre = []
+        for st, plan, src, g in zip(states_t, plans, srcs, leaves):
+            s = src.reshape(_squeezed_shape(src.shape)).astype(st.q[0].dtype)
+            pg = kron_p.precond_grad(st, plan, s)
+            pre.append(pg.astype(g.dtype).reshape(g.shape))
+        scale = _global_norm_scale(pre, grad_clip_max_norm)
+        pre = [p * scale for p in pre]
+
+        new_state = PSGDState(count=state.count + 1, key=key, mu=mu,
+                              precond=states_t)
+        return jax.tree_util.tree_unflatten(treedef, pre), new_state
+
+    return optax.GradientTransformationExtraArgs(init_fn, update_fn)
+
+
+def kron_newton(learning_rate: float | Callable = 0.01,
+                weight_decay: float = 0.0, **kwargs):
+    txs = [scale_by_kron_newton(**kwargs)]
+    if weight_decay:
+        txs.append(optax.add_decayed_weights(weight_decay))
+    txs.append(optax.scale_by_learning_rate(learning_rate))
+    return optax.chain(*txs)
+
+
+# ---------------------------------------------------------------------------
+# LRA whitening / Newton (reference classes LRAWhiten/LRANewton,
+# psgd.py:1075-1330): all parameters concatenated into one column vector.
+# ---------------------------------------------------------------------------
+
+
+def _ravel(tree):
+    import jax.flatten_util
+    return jax.flatten_util.ravel_pytree(tree)
+
+
+def scale_by_lra_whiten(
+    rank_of_approximation: int = 10,
+    preconditioner_init_scale: Optional[float] = None,
+    lr_preconditioner: float = 0.1,
+    betaL: float = 0.9,
+    damping: float = 1e-9,
+    momentum: float = 0.0,
+    grad_clip_max_amps: Tuple[float, float] = (2.0, 10.0),
+    preconditioner_update_probability: float = 1.0,
+    update_preconditioner_first: bool = True,
+    whiten_grad: bool = True,
+    preconditioner_dtype: Any = None,
+    seed: int = 0,
+) -> optax.GradientTransformation:
+    momentum = momentum if 0.0 < momentum < 1.0 else 0.0
+    if not whiten_grad and momentum == 0.0:
+        raise ValueError("Cannot whiten momentum with momentum == 0")
+
+    def init_fn(params):
+        vec, _ = _ravel(params)
+        n = vec.size
+        dt = preconditioner_dtype if preconditioner_dtype is not None else vec.dtype
+        scale0 = 1.0 if preconditioner_init_scale is None else preconditioner_init_scale
+        st = lra_p.init_lra(n, rank_of_approximation, jax.random.key(seed + 1),
+                            scale0, dt)
+        mu = jnp.zeros_like(vec) if momentum > 0 else None
+        return PSGDState(count=jnp.zeros((), jnp.int32), key=jax.random.PRNGKey(seed),
+                         mu=mu, precond=st)
+
+    def update_fn(updates, state, params=None):
+        del params
+        g_vec, unravel = _ravel(updates)
+        st = state.precond
+        qdt = st.d.dtype
+
+        if preconditioner_init_scale is None:
+            scale = (jnp.mean(g_vec.astype(jnp.float32) ** 4) + damping ** 4) ** (-1 / 8)
+            mult = jnp.where(state.count == 0, scale, 1.0).astype(qdt)
+            st = st._replace(d=st.d * mult)
+
+        if momentum > 0:
+            mu = _ema_update(state.mu, g_vec, state.count, momentum)
+        else:
+            mu = None
+
+        key, k_gate, k_fit = jax.random.split(state.key, 3)
+        do_update = jax.random.uniform(k_gate) < preconditioner_update_probability
+        fit_src = (g_vec if whiten_grad else mu).astype(qdt)
+
+        def fit(s):
+            return lra_p.update_lra_whiten(s, fit_src, k_fit,
+                                           lr=lr_preconditioner, beta_l=betaL,
+                                           damping=damping)
+
+        def apply(s):
+            src = (mu if momentum > 0 else g_vec).astype(qdt)
+            pg = lra_p.precond_grad(s, src).astype(g_vec.dtype)
+            return _amp_clip(pg, *grad_clip_max_amps)
+
+        if update_preconditioner_first:
+            st = jax.lax.cond(do_update, fit, lambda s: s, st)
+            pre = apply(st)
+        else:
+            pre = apply(st)
+            st = jax.lax.cond(do_update, fit, lambda s: s, st)
+
+        new_state = PSGDState(count=state.count + 1, key=key, mu=mu, precond=st)
+        return unravel(pre), new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def lra_whiten(learning_rate: float | Callable = 1e-3,
+               weight_decay: float = 0.0, **kwargs):
+    txs = [scale_by_lra_whiten(**kwargs)]
+    if weight_decay:
+        txs.append(optax.add_decayed_weights(weight_decay))
+    txs.append(optax.scale_by_learning_rate(learning_rate))
+    return optax.chain(*txs)
+
+
+def scale_by_lra_newton(
+    rank_of_approximation: int = 10,
+    preconditioner_init_scale: Optional[float] = None,
+    lr_preconditioner: float = 0.1,
+    betaL: float = 0.9,
+    damping: float = 1e-9,
+    momentum: float = 0.0,
+    grad_clip_max_norm: float = float("inf"),
+    preconditioner_update_probability: float = 1.0,
+    preconditioner_dtype: Any = None,
+    seed: int = 0,
+) -> optax.GradientTransformationExtraArgs:
+    momentum = momentum if 0.0 < momentum < 1.0 else 0.0
+
+    def init_fn(params):
+        vec, _ = _ravel(params)
+        dt = preconditioner_dtype if preconditioner_dtype is not None else vec.dtype
+        scale0 = 1.0 if preconditioner_init_scale is None else preconditioner_init_scale
+        st = lra_p.init_lra(vec.size, rank_of_approximation,
+                            jax.random.key(seed + 1), scale0, dt)
+        mu = jnp.zeros_like(vec) if momentum > 0 else None
+        return PSGDState(count=jnp.zeros((), jnp.int32), key=jax.random.PRNGKey(seed),
+                         mu=mu, precond=st)
+
+    def update_fn(updates, state, params=None, *, hvp_fn=None, vs=None,
+                  hvs=None, **extra):
+        del extra
+        g_vec, unravel = _ravel(updates)
+        st = state.precond
+        qdt = st.d.dtype
+
+        key, k_gate, k_v, k_fit = jax.random.split(state.key, 4)
+
+        def fit(s, v_vec, h_vec):
+            if preconditioner_init_scale is None:
+                scale = (jnp.mean(v_vec.astype(jnp.float32) ** 2) ** 0.25 *
+                         (jnp.mean(h_vec.astype(jnp.float32) ** 4) + damping ** 4) ** (-1 / 8))
+                mult = jnp.where(state.count == 0, scale, 1.0).astype(qdt)
+                s = s._replace(d=s.d * mult)
+            return lra_p.update_lra_newton(s, v_vec.astype(qdt), h_vec.astype(qdt),
+                                           k_fit, lr=lr_preconditioner,
+                                           beta_l=betaL, damping=damping)
+
+        if hvp_fn is not None:
+            if params is None:
+                raise ValueError("lra_newton with hvp_fn requires params")
+            pred = jnp.logical_or(
+                jax.random.uniform(k_gate) < preconditioner_update_probability,
+                state.count == 0)
+
+            def fit_branch(s):
+                vs_ = rand_like_tree(k_v, params)
+                _, hvs_ = hvp_fn(params, vs_)
+                return fit(s, _ravel(vs_)[0], _ravel(hvs_)[0])
+
+            st = jax.lax.cond(pred, fit_branch, lambda s: s, st)
+        elif vs is not None and hvs is not None:
+            st = fit(st, _ravel(vs)[0], _ravel(hvs)[0])
+        else:
+            raise ValueError("lra_newton requires hvp_fn or explicit (vs, hvs)")
+
+        if momentum > 0:
+            mu = _ema_update(state.mu, g_vec, state.count, momentum)
+            src = mu
+        else:
+            mu, src = None, g_vec
+
+        pre = lra_p.precond_grad(st, src.astype(qdt)).astype(g_vec.dtype)
+        pre = pre * _global_norm_scale(pre, grad_clip_max_norm)
+        new_state = PSGDState(count=state.count + 1, key=key, mu=mu, precond=st)
+        return unravel(pre), new_state
+
+    return optax.GradientTransformationExtraArgs(init_fn, update_fn)
+
+
+def lra_newton(learning_rate: float | Callable = 0.01,
+               weight_decay: float = 0.0, **kwargs):
+    txs = [scale_by_lra_newton(**kwargs)]
+    if weight_decay:
+        txs.append(optax.add_decayed_weights(weight_decay))
+    txs.append(optax.scale_by_learning_rate(learning_rate))
+    return optax.chain(*txs)
+
+
+# ---------------------------------------------------------------------------
+# Dense Newton (reference class DenseNewton, psgd.py:1427-1563)
+# ---------------------------------------------------------------------------
+
+
+def scale_by_dense_newton(
+    preconditioner_init_scale: Optional[float] = None,
+    lr_preconditioner: float = 0.1,
+    betaL: float = 0.9,
+    damping: float = 1e-9,
+    momentum: float = 0.0,
+    grad_clip_max_norm: float = float("inf"),
+    preconditioner_update_probability: float = 1.0,
+    dq: str = "Q0.5EQ1.5",
+    preconditioner_dtype: Any = None,
+    norm_k: int = 32,
+    seed: int = 0,
+) -> optax.GradientTransformationExtraArgs:
+    dq = kron_p.canonical_dq(dq)
+    momentum = momentum if 0.0 < momentum < 1.0 else 0.0
+
+    def init_fn(params):
+        vec, _ = _ravel(params)
+        dt = preconditioner_dtype if preconditioner_dtype is not None else vec.dtype
+        scale0 = 1.0 if preconditioner_init_scale is None else preconditioner_init_scale
+        st = dense_p.init_dense(vec.size, scale0, dq, dt)
+        mu = jnp.zeros_like(vec) if momentum > 0 else None
+        return PSGDState(count=jnp.zeros((), jnp.int32), key=jax.random.PRNGKey(seed),
+                         mu=mu, precond=st)
+
+    def update_fn(updates, state, params=None, *, hvp_fn=None, vs=None,
+                  hvs=None, **extra):
+        del extra
+        g_vec, unravel = _ravel(updates)
+        st = state.precond
+        qdt = st.q.dtype
+
+        key, k_gate, k_v, k_fit = jax.random.split(state.key, 4)
+
+        def fit(s, v_vec, h_vec):
+            if preconditioner_init_scale is None:
+                scale = (jnp.mean(v_vec.astype(jnp.float32) ** 2) ** 0.25 *
+                         (jnp.mean(h_vec.astype(jnp.float32) ** 4) + damping ** 4) ** (-1 / 8))
+                if dq in kron_p._FIT_P:
+                    scale = scale * scale
+                mult = jnp.where(state.count == 0, scale, 1.0).astype(real_dtype_of(qdt))
+                s = s._replace(q=s.q * mult)
+            return dense_p.update_dense(s, v_vec.astype(qdt), h_vec.astype(qdt),
+                                        k_fit, dq, lr=lr_preconditioner,
+                                        beta_l=betaL, damping=damping,
+                                        norm_k=norm_k)
+
+        if hvp_fn is not None:
+            if params is None:
+                raise ValueError("dense_newton with hvp_fn requires params")
+            pred = jnp.logical_or(
+                jax.random.uniform(k_gate) < preconditioner_update_probability,
+                state.count == 0)
+
+            def fit_branch(s):
+                vs_ = rand_like_tree(k_v, params)
+                _, hvs_ = hvp_fn(params, vs_)
+                return fit(s, _ravel(vs_)[0], _ravel(hvs_)[0])
+
+            st = jax.lax.cond(pred, fit_branch, lambda s: s, st)
+        elif vs is not None and hvs is not None:
+            st = fit(st, _ravel(vs)[0], _ravel(hvs)[0])
+        else:
+            raise ValueError("dense_newton requires hvp_fn or explicit (vs, hvs)")
+
+        if momentum > 0:
+            mu = _ema_update(state.mu, g_vec, state.count, momentum)
+            src = mu
+        else:
+            mu, src = None, g_vec
+
+        pre = dense_p.precond_grad(st, src.astype(qdt), dq).astype(g_vec.dtype)
+        pre = pre * _global_norm_scale(pre, grad_clip_max_norm)
+        new_state = PSGDState(count=state.count + 1, key=key, mu=mu, precond=st)
+        return unravel(pre), new_state
+
+    return optax.GradientTransformationExtraArgs(init_fn, update_fn)
+
+
+def dense_newton(learning_rate: float | Callable = 0.01,
+                 weight_decay: float = 0.0, **kwargs):
+    txs = [scale_by_dense_newton(**kwargs)]
+    if weight_decay:
+        txs.append(optax.add_decayed_weights(weight_decay))
+    txs.append(optax.scale_by_learning_rate(learning_rate))
+    return optax.chain(*txs)

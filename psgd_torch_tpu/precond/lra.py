@@ -1,0 +1,199 @@
+"""Low-rank-approximation (LRA) PSGD preconditioner: Q = (I + U V^T) diag(d).
+
+Functional JAX re-design of the reference LRA family
+(/root/reference/psgd.py:987-1072 core + whiten/newton wrappers at
+:1066-1072, :1193-1198).  U, V are (n, r) with small rank r (default 10 in
+the classes); d is (n, 1).  The update
+
+  * approximately balances U and V toward U^T U = V^T V with a trace-matched
+    rescaling plus a small rotation built from E and E^2 terms
+    (psgd.py:1005-1015),
+  * computes Qh = (I+UV^T)(d h), Ph = d (I+VU^T) Qh, and inv(P^T) v through
+    an r x r LU solve of (I + V^T U) in float32 (psgd.py:1020-1026),
+  * updates d with a per-step Lipschitz estimate, and
+  * updates **either U or V** (probability 1/2 each, a `lax.cond` on a PRNG
+    draw — psgd.py:1034-1052).
+
+Rank 0 reduces Q to a purely diagonal preconditioner (statically specialized:
+no LU solve is compiled).  TPU notes: the hot ops are (n, r) x (r, r) and
+(n, 1)-broadcast elementwise work — thin matmuls that XLA maps to the MXU
+when n is large; the r x r LU lives comfortably in VMEM.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from ..ops.linalg import lift2single, lifted_real_dtype, real_dtype_of
+
+
+class LRAState(NamedTuple):
+    """Pure-pytree LRA preconditioner state (reference keeps [U,V,d]+[Lu,Lv,Ld]
+    lists updated in place, psgd.py:994-1003)."""
+    u: jax.Array          # (n, r)
+    v: jax.Array          # (n, r)
+    d: jax.Array          # (n, 1)
+    lu: jax.Array         # () Lipschitz estimates, >= fp32
+    lv: jax.Array         # ()
+    ld: jax.Array         # ()
+
+    @property
+    def rank(self) -> int:
+        return self.u.shape[1]
+
+
+def init_lra(n: int, rank: int, key: jax.Array, scale: float | jax.Array = 1.0,
+             dtype=jnp.float32) -> LRAState:
+    """U, V ~ randn scaled to ||.||_F = sqrt(0.1); d = scale * ones.
+
+    Reference parity: LRAWhiten.__init__ (psgd.py:1114-1122)."""
+    if not 0 <= rank < max(n, 1):
+        raise ValueError(f"rank {rank} must be in [0, n={n})")
+    ku, kv = jax.random.split(key)
+    u = jax.random.normal(ku, (n, rank), dtype)
+    v = jax.random.normal(kv, (n, rank), dtype)
+    if rank > 0:
+        u = u * (0.1 ** 0.5 / jnp.linalg.norm(u.astype(jnp.float32)).astype(real_dtype_of(dtype)))
+        v = v * (0.1 ** 0.5 / jnp.linalg.norm(v.astype(jnp.float32)).astype(real_dtype_of(dtype)))
+    d = jnp.ones((n, 1), dtype) * jnp.asarray(scale, dtype)
+    l_dtype = lifted_real_dtype(dtype)
+    zero = jnp.zeros((), l_dtype)
+    return LRAState(u=u, v=v, d=d, lu=zero, lv=zero, ld=zero)
+
+
+def ip_uvt_matvec(u: jax.Array, v: jax.Array, x: jax.Array) -> jax.Array:
+    """(I + U V^T) x for column-vector / matrix x (psgd.py:987-991)."""
+    return x + u @ (v.T @ x)
+
+
+def precond_grad(state: LRAState, g: jax.Array) -> jax.Array:
+    """P g with P = Q^T Q, Q = (I + U V^T) diag(d) (psgd.py:1055-1063).
+
+    Accepts (n,) or (n, 1); returns the same shape."""
+    squeeze = g.ndim == 1
+    g2 = g[:, None] if squeeze else g
+    out = ip_uvt_matvec(state.u, state.v, state.d * g2)
+    out = state.d * ip_uvt_matvec(state.v, state.u, out)
+    return out[:, 0] if squeeze else out
+
+
+def _max_update(lip, ell, beta_l):
+    ell = ell.astype(lip.dtype)
+    return jnp.maximum(beta_l * lip + (1.0 - beta_l) * ell, ell)
+
+
+def update_lra(state: LRAState, v: jax.Array, h: jax.Array, key: jax.Array,
+               lr: float = 0.1, beta_l: float = 0.9) -> LRAState:
+    """Raw LRA update with a (v, h) pair; damping handled by the wrappers.
+
+    Reference parity: update_precond_lra (psgd.py:994-1052)."""
+    if v.ndim == 1:
+        v = v[:, None]
+    if h.ndim == 1:
+        h = h[:, None]
+    u, w, d = state.u, state.v, state.d
+    rank = u.shape[1]
+    rdt = real_dtype_of(u.dtype)
+
+    if rank == 0:
+        # Q = diag(d): only the d update survives.
+        qh = d * h
+        ph = d * qh
+        inv_pv = (v / d) / d
+        phh, vinvpv = ph * h, v * inv_pv
+        ell = jnp.max(jnp.abs(phh)) + jnp.max(jnp.abs(vinvpv))
+        ld = _max_update(state.ld, ell, beta_l)
+        d = d - (lr / ld).astype(rdt) * (phh - vinvpv) * d
+        return state._replace(d=d, ld=ld)
+
+    # --- approximate balancing of U and V toward U^T U = V^T V ------------
+    utu = u.T @ u
+    vtv = w.T @ w
+    tr_u = jnp.trace(utu)
+    tr_v = jnp.trace(vtv)
+    rho = (tr_u / tr_v) ** 0.25
+    rho2 = rho * rho
+    e = 0.1 * (utu / rho2 - vtv * rho2) / (tr_u / rho2 + tr_v * rho2)
+    e2 = 0.5 * (e @ e)
+    u = u / rho
+    w = w * rho
+    u = u - u @ (e - e2)
+    w = w + w @ (e + e2)
+
+    # --- P h and inv(P^T) v through the small (r, r) LU solve --------------
+    qh = ip_uvt_matvec(u, w, d * h)
+    ph = d * ip_uvt_matvec(w, u, qh)
+
+    ip_vtu = w.T @ u + jnp.eye(rank, dtype=u.dtype)
+    lu_fac, piv = jsl.lu_factor(lift2single(ip_vtu))
+    inv_qtv = v / d
+    sol1 = jsl.lu_solve((lu_fac, piv), lift2single(u.T @ inv_qtv), trans=1)
+    inv_qtv = inv_qtv - w @ sol1.astype(u.dtype)
+    sol2 = jsl.lu_solve((lu_fac, piv), lift2single(w.T @ inv_qtv), trans=0)
+    inv_pv = inv_qtv - u @ sol2.astype(u.dtype)
+    inv_pv = inv_pv / d
+
+    # --- update d -----------------------------------------------------------
+    phh, vinvpv = ph * h, v * inv_pv
+    ell = jnp.max(jnp.abs(phh)) + jnp.max(jnp.abs(vinvpv))
+    ld = _max_update(state.ld, ell, beta_l)
+    d = d - (lr / ld).astype(rdt) * (phh - vinvpv) * d
+
+    # --- update either U or V (prob 1/2 each; psgd.py:1034-1052) ----------
+    a, b = qh, inv_qtv
+
+    def upd_u(ops):
+        u, w, lu, lv = ops
+        atv = a.T @ w
+        btv = b.T @ w
+        atvvt = atv @ w.T
+        btvvt = btv @ w.T
+        ell = (jnp.linalg.norm(a) * jnp.linalg.norm(atvvt)
+               + jnp.linalg.norm(b) * jnp.linalg.norm(btvvt))
+        lu = _max_update(lu, ell, beta_l)
+        u = u - (lr / lu).astype(rdt) * (a @ (atv @ ip_vtu) - b @ (btv @ ip_vtu))
+        return u, w, lu, lv
+
+    def upd_v(ops):
+        u, w, lu, lv = ops
+        atu = a.T @ u
+        btu = b.T @ u
+        uuta = u @ atu.T
+        uutb = u @ btu.T
+        ell = (jnp.linalg.norm(a) * jnp.linalg.norm(uuta)
+               + jnp.linalg.norm(b) * jnp.linalg.norm(uutb))
+        lv = _max_update(lv, ell, beta_l)
+        w = w - (lr / lv).astype(rdt) * ((a + w @ atu.T) @ atu - (b + w @ btu.T) @ btu)
+        return u, w, lu, lv
+
+    coin = jax.random.uniform(jax.random.fold_in(key, 7))
+    u, w, lu, lv = jax.lax.cond(coin < 0.5, upd_u, upd_v, (u, w, state.lu, state.lv))
+    return LRAState(u=u, v=w, d=d, lu=lu, lv=lv, ld=ld)
+
+
+def update_lra_whiten(state: LRAState, g: jax.Array, key: jax.Array,
+                      lr: float = 0.1, beta_l: float = 0.9,
+                      damping: float = 1e-9) -> LRAState:
+    """Whitening wrapper: synthesize v, damp g (psgd.py:1066-1072)."""
+    kv, ku = jax.random.split(key)
+    g2 = g[:, None] if g.ndim == 1 else g
+    v = jax.random.normal(kv, g2.shape, g2.dtype)
+    eps = jnp.finfo(real_dtype_of(g2.dtype)).eps
+    h = g2 + (damping + eps * jnp.abs(g2)) * v
+    return update_lra(state, v, h, ku, lr=lr, beta_l=beta_l)
+
+
+def update_lra_newton(state: LRAState, v: jax.Array, h: jax.Array,
+                      key: jax.Array, lr: float = 0.1, beta_l: float = 0.9,
+                      damping: float = 1e-9) -> LRAState:
+    """Newton wrapper: damp the Hvp (psgd.py:1193-1198)."""
+    kd, ku = jax.random.split(key)
+    v2 = v[:, None] if v.ndim == 1 else v
+    h2 = h[:, None] if h.ndim == 1 else h
+    eps = jnp.finfo(real_dtype_of(h2.dtype)).eps
+    hd = h2 + (damping + eps * jnp.abs(h2)) * jax.random.normal(kd, h2.shape, h2.dtype)
+    return update_lra(state, v2, hd, ku, lr=lr, beta_l=beta_l)

@@ -1,0 +1,209 @@
+"""End-to-end optimizer-transform tests: Rosenbrock (hello_psgd parity),
+ill-conditioned quadratics, momentum/clipping/update-probability mechanics,
+and checkpointability of the state pytree."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import psgd_torch_tpu.optim as popt
+
+
+def rosenbrock(params):
+    x, y = params["x"], params["y"]
+    return 100.0 * (y - x ** 2) ** 2 + (1.0 - x) ** 2
+
+
+def test_dense_newton_rosenbrock():
+    """hello_psgd.py parity: DenseNewton with the reference's settings
+    (lr_params=1.0, lr_preconditioner=0.5, momentum=0.9, 2000 iters on the
+    100-dim coupled Rosenbrock, hello_psgd.py:8-19)."""
+    params = jnp.zeros(100)
+
+    def loss_fn(x):
+        x1, x2 = x[0::2], x[1::2]
+        return jnp.sum(100.0 * (x2 - x1 ** 2) ** 2 + (1.0 - x1) ** 2)
+
+    opt = popt.dense_newton(learning_rate=1.0, lr_preconditioner=0.5,
+                            momentum=0.9)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        grads = jax.grad(loss_fn)(params)
+        updates, state = opt.update(grads, state, params,
+                                    hvp_fn=popt.make_hvp_fn(loss_fn))
+        return optax.apply_updates(params, updates), state
+
+    losses = []
+    for _ in range(2000):
+        params, state = step(params, state)
+        losses.append(float(loss_fn(params)))
+    assert losses[-1] < 1e-8, f"Rosenbrock loss {losses[-1]}"
+    np.testing.assert_allclose(np.asarray(params), np.ones(100), atol=1e-3)
+
+
+def _quad_problem(key=0):
+    h1 = jnp.diag(10.0 ** jnp.linspace(-1.5, 1.5, 24))
+    h2 = jnp.diag(10.0 ** jnp.linspace(-1.0, 1.0, 8))
+    w_star = jax.random.normal(jax.random.key(key), (24, 8))
+
+    def loss_fn(p):
+        d = p["w"] - w_star
+        return 0.5 * jnp.sum(d * (h1 @ d @ h2))
+
+    return loss_fn, {"w": jnp.zeros((24, 8))}
+
+
+@pytest.mark.parametrize("dq", ["Q0.5EQ1.5", "QUAD", "QEQ"])
+def test_kron_newton_quadratic(dq):
+    loss_fn, params = _quad_problem()
+    opt = popt.kron_newton(learning_rate=0.5, grad_clip_max_norm=10.0, dq=dq)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        grads = jax.grad(loss_fn)(params)
+        updates, state = opt.update(grads, state, params,
+                                    hvp_fn=popt.make_hvp_fn(loss_fn))
+        return optax.apply_updates(params, updates), state
+
+    for _ in range(300):
+        params, state = step(params, state)
+    assert float(loss_fn(params)) < 1e-8
+
+
+def test_kron_whiten_quadratic_with_momentum():
+    loss_fn, params = _quad_problem()
+    sched = optax.linear_schedule(0.1, 0.0, 800)
+    opt = popt.kron_whiten(learning_rate=sched, momentum=0.9)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        grads = jax.grad(loss_fn)(params)
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state
+
+    l0 = float(loss_fn(params))
+    for _ in range(800):
+        params, state = step(params, state)
+    assert float(loss_fn(params)) < 1e-3 * l0
+
+
+def test_kron_whiten_momentum_whitening():
+    loss_fn, params = _quad_problem()
+    opt = popt.kron_whiten(learning_rate=optax.linear_schedule(0.05, 0.0, 600),
+                           momentum=0.9, whiten_grad=False)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        grads = jax.grad(loss_fn)(params)
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state
+
+    l0 = float(loss_fn(params))
+    for _ in range(600):
+        params, state = step(params, state)
+    assert float(loss_fn(params)) < 1e-2 * l0
+
+
+def test_whiten_momentum_requires_momentum():
+    with pytest.raises(ValueError):
+        popt.scale_by_kron_whiten(whiten_grad=False, momentum=0.0)
+
+
+def test_lra_newton_quadratic():
+    loss_fn, params = _quad_problem()
+    opt = popt.lra_newton(learning_rate=0.5, rank_of_approximation=10,
+                          grad_clip_max_norm=10.0)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        grads = jax.grad(loss_fn)(params)
+        updates, state = opt.update(grads, state, params,
+                                    hvp_fn=popt.make_hvp_fn(loss_fn))
+        return optax.apply_updates(params, updates), state
+
+    l0 = float(loss_fn(params))
+    for _ in range(1500):
+        params, state = step(params, state)
+    assert float(loss_fn(params)) < 1e-3 * l0
+
+
+def test_lra_whiten_runs_and_descends():
+    loss_fn, params = _quad_problem()
+    opt = popt.lra_whiten(learning_rate=optax.linear_schedule(0.1, 0.0, 500))
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        grads = jax.grad(loss_fn)(params)
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state
+
+    l0 = float(loss_fn(params))
+    for _ in range(500):
+        params, state = step(params, state)
+    assert float(loss_fn(params)) < 1e-2 * l0
+
+
+def test_update_probability_gates_q_updates():
+    """With p=0, Q must stay at its (first-step-rescaled) value."""
+    loss_fn, params = _quad_problem()
+    tx = popt.scale_by_kron_whiten(preconditioner_update_probability=0.0,
+                                   preconditioner_init_scale=1.0)
+    state = tx.init(params)
+    grads = jax.grad(loss_fn)(params)
+    u1, s1 = tx.update(grads, state, params)
+    u2, s2 = tx.update(grads, s1, params)
+    for a, b in zip(s1.precond[0].q, s2.precond[0].q):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_finite_diff_hvp_matches_exact():
+    loss_fn, params = _quad_problem()
+    vs = popt.rand_like_tree(jax.random.key(0), params)
+    _, h1 = popt.hvp_exact(loss_fn, params, vs)
+    _, h2 = popt.hvp_finite_diff(loss_fn, params, vs)
+    np.testing.assert_allclose(np.asarray(h1["w"]), np.asarray(h2["w"]),
+                               rtol=1e-3, atol=1e-2)
+
+
+def test_state_is_checkpointable_pytree():
+    """State must round-trip through flatten/unflatten and host transfer —
+    the reference's optimizer state is not serializable (SURVEY.md §5)."""
+    loss_fn, params = _quad_problem()
+    opt = popt.kron_whiten(learning_rate=1e-3, momentum=0.9)
+    state = opt.init(params)
+    grads = jax.grad(loss_fn)(params)
+    _, state = opt.update(grads, state, params)
+    flat, treedef = jax.tree_util.tree_flatten(state)
+    assert all(isinstance(x, jax.Array) for x in flat)
+    restored = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(np.asarray(x)) for x in flat])
+    _, state2 = opt.update(grads, restored, params)  # still usable
+
+
+def test_bf16_preconditioner_dtype():
+    loss_fn, params = _quad_problem()
+    opt = popt.kron_whiten(learning_rate=1e-2, preconditioner_dtype=jnp.bfloat16,
+                           lr_preconditioner=0.1, norm_k=128)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        grads = jax.grad(loss_fn)(params)
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state
+
+    for _ in range(50):
+        params, state = step(params, state)
+    assert np.isfinite(float(loss_fn(params)))
+    kron_state = state[0].precond[0] if isinstance(state, tuple) else state.precond[0]
+    assert kron_state.q[0].dtype == jnp.bfloat16
+    assert kron_state.lips[0].dtype == jnp.float32
