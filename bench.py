@@ -1,0 +1,164 @@
+"""Headline benchmark: GPT-2 124M PSGD-Kron step time vs AdamW (optax).
+
+Target (BASELINE.md): PSGD-Kron step time <= 1.15x AdamW with matching loss
+curve.  The headline value is measured at the reference's production
+operating point (preconditioner_update_probability = 0.1; the reference
+anneals 1.0 -> 0.01, misc/gpt2.py:440); the always-update p=1.0 cost is in
+`detail`.
+
+Timing design: N training steps inside ONE jitted lax.fori_loop, and the
+result forced to host with float() — the axon TPU runtime dispatches
+asynchronously and `block_until_ready` alone under-reports, so per-call
+wall-clock of a multi-step program with a scalar fetch is the only reliable
+clock.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <psgd_step/adamw_step ratio at p=0.1>,
+   "unit": "x", "vs_baseline": <value / 1.15, < 1.0 means target met>}
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+N_STEPS = 8  # steps per timed program
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_n_step(opt, loss_fn, n=N_STEPS):
+    @jax.jit
+    def run(params, state, tokens, targets):
+        def body(_, carry):
+            p, s, _ = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, tokens, targets)
+            updates, s = opt.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s, loss)
+
+        p, s, loss = jax.lax.fori_loop(
+            0, n, body, (params, state, jnp.zeros((), jnp.float32)))
+        # checksum ties the timing to the full parameter update
+        leaf = jax.tree_util.tree_leaves(p)[0]
+        return loss, jnp.sum(leaf.astype(jnp.float32))
+
+    return run
+
+
+def time_program(fn, args, n_inner=N_STEPS, n_outer=3):
+    loss, cs = fn(*args)
+    _ = float(loss) + float(cs)  # warmup: compile + first run
+    best = float("inf")
+    for _ in range(n_outer):
+        t0 = time.perf_counter()
+        loss, cs = fn(*args)
+        _ = float(loss) + float(cs)
+        best = min(best, (time.perf_counter() - t0) / n_inner)
+    return best, float(loss)
+
+
+def main():
+    import psgd_torch_tpu.optim as popt
+    from psgd_torch_tpu.models import gpt2
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+    on_tpu = dev.platform == "tpu"
+
+    if on_tpu:
+        cfg = gpt2.gpt2_124m(compute_dtype=jnp.bfloat16, remat=False)
+        batch, seq = 4, cfg.block_size
+    else:  # CPU smoke mode
+        cfg = gpt2.tiny_config(n_layer=2, n_embd=128, n_head=4,
+                               vocab_size=1024, block_size=64,
+                               compute_dtype=jnp.float32)
+        batch, seq = 4, cfg.block_size
+
+    key = jax.random.key(0)
+    params = gpt2.init_gpt2(key, cfg)
+    n_params = gpt2.count_params(params)
+    log(f"params: {n_params/1e6:.1f}M  batch {batch} x seq {seq}")
+    tokens, targets = gpt2.synthetic_lm_batch(jax.random.fold_in(key, 1),
+                                              batch, seq, cfg.vocab_size)
+    mask = gpt2.scanned_layers_mask(params)
+    loss_fn = lambda p, x, y: gpt2.loss_gpt2(p, x, y, cfg)
+
+    pdt = jnp.bfloat16 if on_tpu else None
+    nk = 128 if on_tpu else 32
+
+    # --- AdamW baseline (reference gpt2 demo settings, misc/gpt2.py:400-413)
+    adamw = optax.adamw(1e-3, b1=0.9, b2=0.95, weight_decay=0.01)
+    t_adamw, l_adamw = time_program(make_n_step(adamw, loss_fn),
+                                    (params, adamw.init(params), tokens, targets))
+    log(f"adamw step: {t_adamw*1e3:.2f} ms (loss {l_adamw:.3f})")
+
+    def psgd_opt(p_update):
+        return popt.kron_whiten(
+            learning_rate=1e-3 / 4, momentum=0.9, whiten_grad=False,
+            preconditioner_max_skew=2.0, preconditioner_init_scale=1.0,
+            preconditioner_update_probability=p_update,
+            preconditioner_dtype=pdt, norm_k=nk, weight_decay=0.01,
+            scanned_layers=mask)
+
+    # --- PSGD at the production operating point (p_update = 0.1)
+    opt01 = psgd_opt(0.1)
+    t_psgd01, l_psgd01 = time_program(make_n_step(opt01, loss_fn),
+                                      (params, opt01.init(params), tokens, targets))
+    log(f"psgd step (p=0.1): {t_psgd01*1e3:.2f} ms (loss {l_psgd01:.3f})")
+
+    # --- PSGD updating Q every step (p_update = 1.0)
+    opt1 = psgd_opt(1.0)
+    t_psgd1, l_psgd1 = time_program(make_n_step(opt1, loss_fn),
+                                    (params, opt1.init(params), tokens, targets))
+    log(f"psgd step (p=1.0): {t_psgd1*1e3:.2f} ms (loss {l_psgd1:.3f})")
+
+    # --- isolated Q-update + Pg-apply (the primary kernel metric)
+    tx = popt.scale_by_kron_whiten(preconditioner_max_skew=2.0,
+                                   preconditioner_init_scale=1.0,
+                                   preconditioner_dtype=pdt, norm_k=nk,
+                                   scanned_layers=mask)
+    grads = jax.jit(jax.grad(loss_fn))(params, tokens, targets)
+
+    @jax.jit
+    def q_loop(grads, state):
+        def body(_, s):
+            u, s = tx.update(grads, s)
+            return s
+        s = jax.lax.fori_loop(0, N_STEPS, body, state)
+        return jnp.zeros(()), jnp.sum(jax.tree_util.tree_leaves(s.precond)[0].astype(jnp.float32))
+
+    t_q, _ = time_program(q_loop, (grads, tx.init(params)))
+    log(f"Q-update + Pg-apply: {t_q*1e6:.0f} us/step "
+        f"({100*t_q/t_adamw:.1f}% of an adamw step)")
+
+    ratio = t_psgd01 / t_adamw
+    result = {
+        "metric": "gpt2_124m_psgd_kron_step_time_ratio_vs_adamw",
+        "value": round(ratio, 4),
+        "unit": "x",
+        "vs_baseline": round(ratio / 1.15, 4),
+        "detail": {
+            "device": str(dev),
+            "params_m": round(n_params / 1e6, 1),
+            "batch": batch, "seq": seq,
+            "adamw_ms": round(t_adamw * 1e3, 2),
+            "psgd_p0.1_ms": round(t_psgd01 * 1e3, 2),
+            "psgd_p1.0_ms": round(t_psgd1 * 1e3, 2),
+            "psgd_p1.0_ratio": round(t_psgd1 / t_adamw, 4),
+            "q_update_apply_us": round(t_q * 1e6),
+            "psgd_steps_per_sec": round(1.0 / t_psgd01, 3),
+            "note": "p=0.1 is the reference's production operating point "
+                    "(update prob annealed 1.0->0.01, misc/gpt2.py:440)",
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

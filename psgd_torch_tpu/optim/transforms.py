@@ -85,11 +85,17 @@ def _global_norm_scale(tree, max_norm: float):
     return jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-38))
 
 
-def _whiten_scale_from_grads(leaves, damping):
+def _whiten_scale_from_grads(leaves, flags, damping):
     """On-the-fly init scale (mean|g|^4 + damping^4)^(-1/8), max over tensors
-    (psgd.py:599-602).  Computed in float32."""
-    m = jnp.stack([jnp.mean(jnp.abs(g.astype(jnp.float32)) ** 4) for g in leaves]).max()
-    return (m + damping ** 4) ** (-1.0 / 8.0)
+    (psgd.py:599-602); layer-stacked leaves count each layer as a tensor."""
+    ms = []
+    for g, f in zip(leaves, flags):
+        g4 = jnp.abs(g.astype(jnp.float32)) ** 4
+        if f:
+            ms.append(jnp.max(jnp.mean(g4.reshape(g4.shape[0], -1), axis=1)))
+        else:
+            ms.append(jnp.mean(g4))
+    return (jnp.stack(ms).max() + damping ** 4) ** (-1.0 / 8.0)
 
 
 def _newton_scale_from_vh(v_leaves, h_leaves, damping):
@@ -112,6 +118,57 @@ def _rescale_kron_if(count0, kron_states, plans, scale):
             q=tuple(q * mult.astype(real_dtype_of(q.dtype)) for q in st.q),
             lips=st.lips))
     return out
+
+
+def _scan_flags(scanned_layers, leaves):
+    """Normalize the ``scanned_layers`` pytree-of-bools to a per-leaf list.
+
+    Leaves flagged True are stacks of per-layer tensors (leading axis =
+    layer, as produced by a lax.scan-over-layers model like models.gpt2);
+    the transform keeps one preconditioner per layer and vmaps the update
+    over the stack — per-layer Q semantics identical to the reference's
+    per-tensor treatment, at one fused XLA kernel for all layers."""
+    if scanned_layers is None:
+        return [False] * len(leaves)
+    flags = jax.tree_util.tree_leaves(scanned_layers)
+    if len(flags) != len(leaves):
+        raise ValueError(
+            f"scanned_layers has {len(flags)} leaves, params have {len(leaves)}")
+    return [bool(f) for f in flags]
+
+
+def _init_kron_leaf(plan, scale0, dtype, scanned, n_stack):
+    st = kron_p.init_kron_from_plan(plan, scale0, dtype)
+    if scanned:
+        st = jax.tree_util.tree_map(
+            lambda x: jnp.tile(x[None], (n_stack,) + (1,) * x.ndim), st)
+    return st
+
+
+def _fit_kron_leaf(st, plan, key, scanned, mode, g=None, v=None, h=None, **kw):
+    """One whiten/newton Q update for a leaf, vmapped over the layer stack."""
+    if mode == "whiten":
+        fn = lambda s, gg, kk: kron_p.update_kron_whiten(s, plan, gg, kk, **kw)
+        if scanned:
+            n = g.shape[0]
+            gs = g.reshape((n,) + plan.shape)
+            return jax.vmap(fn)(st, gs, jax.random.split(key, n))
+        return fn(st, g.reshape(plan.shape), key)
+    fn = lambda s, vv, hh, kk: kron_p.update_kron_newton(s, plan, vv, hh, kk, **kw)
+    if scanned:
+        n = v.shape[0]
+        vs = v.reshape((n,) + plan.shape)
+        hs = h.reshape((n,) + plan.shape)
+        return jax.vmap(fn)(st, vs, hs, jax.random.split(key, n))
+    return fn(st, v.reshape(plan.shape), h.reshape(plan.shape), key)
+
+
+def _apply_kron_leaf(st, plan, g, scanned):
+    if scanned:
+        n = g.shape[0]
+        gs = g.reshape((n,) + plan.shape)
+        return jax.vmap(lambda s, gg: kron_p.precond_grad(s, plan, gg))(st, gs)
+    return kron_p.precond_grad(st, plan, g.reshape(plan.shape))
 
 
 class PSGDState(NamedTuple):
@@ -143,34 +200,39 @@ def scale_by_kron_whiten(
     preconditioner_dtype: Any = None,
     norm_k: int = 32,
     seed: int = 0,
+    scanned_layers: Any = None,
 ) -> optax.GradientTransformation:
     """Kronecker-factored gradient/momentum whitening preconditioner.
 
     Emits the clipped preconditioned gradient (chain with
     ``optax.scale_by_learning_rate``).  Hyperparameters follow the reference
     KronWhiten class; ``whiten_grad=False`` whitens the momentum instead and
-    requires ``momentum > 0`` (psgd.py:561-564).
+    requires ``momentum > 0`` (psgd.py:561-564).  ``scanned_layers`` is an
+    optional pytree of bools (matching params) marking layer-stacked leaves:
+    those get one preconditioner per layer, vmapped over the stack.
     """
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
     if not whiten_grad and momentum == 0.0:
         raise ValueError("Cannot whiten momentum with momentum == 0")
 
-    def _plans(leaves):
-        return [kron_p.make_kron_plan(_squeezed_shape(g.shape),
-                                      preconditioner_max_size,
-                                      preconditioner_max_skew, dq)
-                for g in leaves]
+    def _plans(leaves, flags):
+        return [kron_p.make_kron_plan(
+            _squeezed_shape(g.shape[1:] if f else g.shape),
+            preconditioner_max_size, preconditioner_max_skew, dq)
+            for g, f in zip(leaves, flags)]
 
     def _qdtype(leaf):
         return preconditioner_dtype if preconditioner_dtype is not None else leaf.dtype
 
     def init_fn(params):
         leaves = jax.tree_util.tree_leaves(params)
-        plans = _plans(leaves)
+        flags = _scan_flags(scanned_layers, leaves)
+        plans = _plans(leaves, flags)
         scale0 = 1.0 if preconditioner_init_scale is None else preconditioner_init_scale
-        kron_states = [kron_p.init_kron_from_plan(p, scale0, _qdtype(l))
-                       for p, l in zip(plans, leaves)]
+        kron_states = [
+            _init_kron_leaf(p, scale0, _qdtype(l), f, l.shape[0] if f else 1)
+            for p, l, f in zip(plans, leaves, flags)]
         mu = jax.tree_util.tree_map(jnp.zeros_like, params) if momentum > 0 else None
         return PSGDState(count=jnp.zeros((), jnp.int32), key=jax.random.PRNGKey(seed),
                          mu=mu, precond=tuple(kron_states))
@@ -178,12 +240,17 @@ def scale_by_kron_whiten(
     def update_fn(updates, state, params=None):
         del params
         leaves, treedef = jax.tree_util.tree_flatten(updates)
-        plans = _plans(leaves)
-        sq = [g.reshape(_squeezed_shape(g.shape)) for g in leaves]
+        flags = _scan_flags(scanned_layers, leaves)
+        plans = _plans(leaves, flags)
+
+        def leaf_view(x, f, plan):
+            return x.reshape(((x.shape[0],) if f else ()) + plan.shape)
+
+        sq = [leaf_view(g, f, p) for g, f, p in zip(leaves, flags, plans)]
 
         kron_states = list(state.precond)
         if preconditioner_init_scale is None:
-            scale = _whiten_scale_from_grads(sq, damping)
+            scale = _whiten_scale_from_grads(leaves, flags, damping)
             kron_states = _rescale_kron_if(state.count == 0, kron_states, plans, scale)
 
         # momentum EMA (bias-warmed)
@@ -197,27 +264,33 @@ def scale_by_kron_whiten(
         do_update = jax.random.uniform(k_gate) < preconditioner_update_probability
 
         fit_sources = sq if whiten_grad else [
-            m.reshape(_squeezed_shape(m.shape)) for m in mu_leaves]
+            leaf_view(m, f, p) for m, f, p in zip(mu_leaves, flags, plans)]
 
         def fit_all(states):
             out = []
-            for i, (st, plan, src) in enumerate(zip(states, plans, fit_sources)):
-                src = src.astype(st.q[0].dtype)
-                out.append(kron_p.update_kron_whiten(
-                    st, plan, src, jax.random.fold_in(k_fit, i),
-                    lr=lr_preconditioner, beta_l=betaL, damping=damping,
-                    norm_k=norm_k))
+            for i, (st, plan, f, src) in enumerate(
+                    zip(states, plans, flags, fit_sources)):
+                qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
+                out.append(_fit_kron_leaf(
+                    st, plan, jax.random.fold_in(k_fit, i), f, "whiten",
+                    g=src.astype(qdt), lr=lr_preconditioner, beta_l=betaL,
+                    damping=damping, norm_k=norm_k))
             return tuple(out)
 
         def apply_all(states):
             # precondition the momentum if enabled, else the gradient
             # (psgd.py:628-631) — independent of what Q is fitted on.
-            srcs = ([m.reshape(_squeezed_shape(m.shape)) for m in mu_leaves]
+            srcs = ([leaf_view(m, f, p) for m, f, p in zip(mu_leaves, flags, plans)]
                     if momentum > 0 else sq)
             out = []
-            for st, plan, src, g in zip(states, plans, srcs, leaves):
-                pg = kron_p.precond_grad(st, plan, src.astype(st.q[0].dtype))
-                pg = _amp_clip(pg.astype(g.dtype), *grad_clip_max_amps)
+            for st, plan, f, src, g in zip(states, plans, flags, srcs, leaves):
+                qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
+                pg = _apply_kron_leaf(st, plan, src.astype(qdt), f)
+                pg = pg.astype(g.dtype)
+                if f:  # per-layer clipping, like per-tensor in the reference
+                    pg = jax.vmap(lambda x: _amp_clip(x, *grad_clip_max_amps))(pg)
+                else:
+                    pg = _amp_clip(pg, *grad_clip_max_amps)
                 out.append(pg.reshape(g.shape))
             return out
 
@@ -266,32 +339,36 @@ def scale_by_kron_newton(
     preconditioner_dtype: Any = None,
     norm_k: int = 32,
     seed: int = 0,
+    scanned_layers: Any = None,
 ) -> optax.GradientTransformationExtraArgs:
     """Kron Newton-type preconditioner fed by Hessian-vector products.
 
     ``update`` takes either ``hvp_fn(params, vs) -> (grads, hvs)`` (the
     preconditioner draws vs and evaluates the Hvp only on update steps, under
     lax.cond — mirroring the update-probability gating of the reference,
-    psgd.py:914) or explicit ``vs``/``hvs`` pytrees.
+    psgd.py:914) or explicit ``vs``/``hvs`` pytrees.  ``scanned_layers``
+    marks layer-stacked leaves (see scale_by_kron_whiten).
     """
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
 
-    def _plans(leaves):
-        return [kron_p.make_kron_plan(_squeezed_shape(g.shape),
-                                      preconditioner_max_size,
-                                      preconditioner_max_skew, dq)
-                for g in leaves]
+    def _plans(leaves, flags):
+        return [kron_p.make_kron_plan(
+            _squeezed_shape(g.shape[1:] if f else g.shape),
+            preconditioner_max_size, preconditioner_max_skew, dq)
+            for g, f in zip(leaves, flags)]
 
     def _qdtype(leaf):
         return preconditioner_dtype if preconditioner_dtype is not None else leaf.dtype
 
     def init_fn(params):
         leaves = jax.tree_util.tree_leaves(params)
-        plans = _plans(leaves)
+        flags = _scan_flags(scanned_layers, leaves)
+        plans = _plans(leaves, flags)
         scale0 = 1.0 if preconditioner_init_scale is None else preconditioner_init_scale
-        kron_states = [kron_p.init_kron_from_plan(p, scale0, _qdtype(l))
-                       for p, l in zip(plans, leaves)]
+        kron_states = [
+            _init_kron_leaf(p, scale0, _qdtype(l), f, l.shape[0] if f else 1)
+            for p, l, f in zip(plans, leaves, flags)]
         mu = jax.tree_util.tree_map(jnp.zeros_like, params) if momentum > 0 else None
         return PSGDState(count=jnp.zeros((), jnp.int32), key=jax.random.PRNGKey(seed),
                          mu=mu, precond=tuple(kron_states))
@@ -300,21 +377,22 @@ def scale_by_kron_newton(
                   hvs=None, **extra):
         del extra
         leaves, treedef = jax.tree_util.tree_flatten(updates)
-        plans = _plans(leaves)
+        flags = _scan_flags(scanned_layers, leaves)
+        plans = _plans(leaves, flags)
 
         key, k_gate, k_v, k_fit = jax.random.split(state.key, 4)
 
         def fit_all(states, v_leaves, h_leaves):
-            v_sq = [v.reshape(_squeezed_shape(v.shape)) for v in v_leaves]
-            h_sq = [h.reshape(_squeezed_shape(h.shape)) for h in h_leaves]
             if preconditioner_init_scale is None:
-                scale = _newton_scale_from_vh(v_sq, h_sq, damping)
+                scale = _newton_scale_from_vh(v_leaves, h_leaves, damping)
                 states = _rescale_kron_if(state.count == 0, states, plans, scale)
             out = []
-            for i, (st, plan, v, h) in enumerate(zip(states, plans, v_sq, h_sq)):
-                out.append(kron_p.update_kron_newton(
-                    st, plan, v.astype(st.q[0].dtype), h.astype(st.q[0].dtype),
-                    jax.random.fold_in(k_fit, i), lr=lr_preconditioner,
+            for i, (st, plan, f, v, h) in enumerate(
+                    zip(states, plans, flags, v_leaves, h_leaves)):
+                qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
+                out.append(_fit_kron_leaf(
+                    st, plan, jax.random.fold_in(k_fit, i), f, "newton",
+                    v=v.astype(qdt), h=h.astype(qdt), lr=lr_preconditioner,
                     beta_l=betaL, damping=damping, norm_k=norm_k))
             return tuple(out)
 
@@ -346,9 +424,10 @@ def scale_by_kron_newton(
             mu, srcs = None, leaves
 
         pre = []
-        for st, plan, src, g in zip(states_t, plans, srcs, leaves):
-            s = src.reshape(_squeezed_shape(src.shape)).astype(st.q[0].dtype)
-            pg = kron_p.precond_grad(st, plan, s)
+        for st, plan, f, src, g in zip(states_t, plans, flags, srcs, leaves):
+            qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
+            view = src.reshape(((src.shape[0],) if f else ()) + plan.shape)
+            pg = _apply_kron_leaf(st, plan, view.astype(qdt), f)
             pre.append(pg.astype(g.dtype).reshape(g.shape))
         scale = _global_norm_scale(pre, grad_clip_max_norm)
         pre = [p * scale for p in pre]

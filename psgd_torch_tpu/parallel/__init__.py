@@ -1,0 +1,8 @@
+"""L3 distributed layer: meshes, shardings, per-shard whitening."""
+
+from .mesh import (
+    gpt2_partition_specs,
+    make_mesh,
+    named_shardings,
+    psgd_state_specs,
+)

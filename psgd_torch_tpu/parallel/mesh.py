@@ -1,0 +1,120 @@
+"""Mesh and sharding utilities (L3): SPMD replaces the reference's
+NCCL RNG-sync / resync machinery.
+
+The reference's distributed story is two torch.optim wrappers
+(/root/reference/wrapped_as_torch_optimizer_for_ddp.py and ..._for_dtensor.py)
+that keep replicated PSGD state consistent by broadcasting RNG states and
+periodically re-broadcasting parameters (ddp:88-104, 163-170).  Under
+jit/GSPMD none of that is needed: the optimizer's PRNG key lives in the
+(replicated) state pytree, every replica traces the same program, and XLA's
+deterministic collectives keep state bitwise identical.  What remains to
+design is *where the factors live* — this module provides:
+
+  * ``make_mesh`` — build a device mesh with named axes, padding axis sizes
+    sensibly for whatever device count is available;
+  * ``gpt2_partition_specs`` — canonical fsdp/tp PartitionSpecs for the
+    models.gpt2 parameter tree;
+  * ``psgd_state_specs`` — shardings for PSGDState given the param specs
+    (momentum follows the params; Kron factors are replicated by default —
+    they are O(sum n_i^2) small relative to params; see parallel.sharded for
+    the per-shard-whitening alternative).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+
+from ..optim.transforms import PSGDState
+from ..precond.kron import KronState
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_names: Sequence[str] = ("dp", "fsdp", "tp"),
+              devices=None) -> Mesh:
+    """Build a mesh over the first n_devices devices.
+
+    The device count is factored greedily from the last axis (tp) backwards:
+    e.g. 8 devices -> (dp=1, fsdp=4, tp=2); 4 -> (1, 2, 2); 1 -> (1, 1, 1).
+    Layout keeps tp innermost so tensor-parallel collectives ride the
+    fastest ICI links.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    sizes = [1] * len(axis_names)
+    # give tp up to 2, fsdp the bulk, dp the rest
+    remaining = n
+    if len(axis_names) >= 3 and remaining % 2 == 0 and remaining >= 4:
+        sizes[-1] = 2
+        remaining //= 2
+    sizes[-2 if len(axis_names) >= 2 else -1] = remaining
+    mesh_devices = np.array(devices).reshape(sizes)
+    return Mesh(mesh_devices, tuple(axis_names))
+
+
+def gpt2_partition_specs(fsdp_axis: str = "fsdp", tp_axis: str = "tp") -> dict:
+    """Canonical parameter shardings for models.gpt2 (stacked-blocks tree).
+
+    Column-parallel qkv/fc (tp on the output dim), row-parallel proj (tp on
+    the input dim), fsdp on the opposite dim; embeddings sharded over vocab
+    x embd; norms and biases replicated or tp-sharded to match their matmul.
+    """
+    return {
+        "wte": PS(tp_axis, fsdp_axis),
+        "wpe": PS(None, fsdp_axis),
+        "blocks": {
+            "ln1_scale": PS(None, None),
+            "ln1_bias": PS(None, None),
+            "attn_qkv_w": PS(None, fsdp_axis, tp_axis),
+            "attn_qkv_b": PS(None, tp_axis),
+            "attn_proj_w": PS(None, tp_axis, fsdp_axis),
+            "attn_proj_b": PS(None, None),
+            "ln2_scale": PS(None, None),
+            "ln2_bias": PS(None, None),
+            "mlp_fc_w": PS(None, fsdp_axis, tp_axis),
+            "mlp_fc_b": PS(None, tp_axis),
+            "mlp_proj_w": PS(None, tp_axis, fsdp_axis),
+            "mlp_proj_b": PS(None, None),
+        },
+        "lnf_scale": PS(None),
+        "lnf_bias": PS(None),
+    }
+
+
+def named_shardings(mesh: Mesh, specs: Any) -> Any:
+    """Map a pytree of PartitionSpecs to NamedShardings on ``mesh``."""
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, PS))
+
+
+def psgd_state_specs(param_specs: Any, state: PSGDState) -> PSGDState:
+    """Shardings for a PSGDState: momentum follows the params, scalars and
+    PRNG key replicated, Kron Q/L factors replicated.
+
+    Kron factors are O(n_i^2) per tensor dim — for transformer weights this
+    is ~(d^2 + d'^2) vs d*d' parameters, so replicating them costs little
+    memory while keeping the Q-update free of collectives; shard the params
+    (fsdp) and the gradients instead.  parallel.sharded provides the
+    per-shard-whitening mode when factors must be local.
+    """
+    replicate = lambda st: jax.tree_util.tree_map(lambda _: PS(), st)
+
+    def one(st):
+        if isinstance(st, PSGDState):
+            mu_spec = None if st.mu is None else param_specs
+            return PSGDState(count=PS(), key=PS(), mu=mu_spec,
+                             precond=replicate(st.precond))
+        return replicate(st)
+
+    if isinstance(state, PSGDState):
+        return one(state)
+    if isinstance(state, tuple):  # optax.chain state
+        return tuple(one(st) for st in state)
+    return replicate(state)

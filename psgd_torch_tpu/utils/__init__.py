@@ -1,0 +1,4 @@
+"""Utilities: checkpointing (orbax), profiling, observability."""
+
+from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .profiling import StepTimer, trace

@@ -1,0 +1,127 @@
+"""Distributed tests on the CPU-simulated 8-device mesh: replicated-state DP
+consistency (the DDP-wrapper equivalent), per-shard whitening (the
+DTensor-wrapper equivalent), and the fully sharded dp/fsdp/tp train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as PS
+
+import psgd_torch_tpu.optim as popt
+from psgd_torch_tpu.models import gpt2
+from psgd_torch_tpu.parallel import (gpt2_partition_specs, make_mesh,
+                                     named_shardings, psgd_state_specs)
+from psgd_torch_tpu.parallel.sharded import per_shard_kron_whiten
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 simulated devices")
+
+
+def _quad():
+    h1 = jnp.diag(10.0 ** jnp.linspace(-1, 1, 16))
+    h2 = jnp.diag(10.0 ** jnp.linspace(-0.5, 0.5, 8))
+    w_star = jax.random.normal(jax.random.key(1), (16, 8))
+
+    def loss_fn(p, batch_scale):
+        d = p["w"] - w_star
+        return 0.5 * jnp.sum(d * (h1 @ d @ h2)) * jnp.mean(batch_scale)
+
+    return loss_fn, {"w": jnp.zeros((16, 8))}
+
+
+def test_replicated_dp_is_deterministic():
+    """Data-parallel training with replicated optimizer state must keep
+    params identical to the single-device run (the property the reference
+    maintains with RNG broadcasts + resync, ddp:88-104, 163-170 — free
+    under SPMD)."""
+    mesh = make_mesh(8, axis_names=("dp",))
+    loss_fn, params = _quad()
+    opt = popt.kron_whiten(learning_rate=1e-2, momentum=0.9,
+                           preconditioner_init_scale=1.0)
+    state = opt.init(params)
+
+    batch = jnp.ones((8, 4))  # dp-sharded dummy batch
+    batch_sharded = jax.device_put(batch, NamedSharding(mesh, PS("dp", None)))
+
+    @jax.jit
+    def step(params, state, batch):
+        grads = jax.grad(loss_fn)(params, batch)
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state
+
+    p_rep, s_rep = params, state
+    p_one, s_one = params, state
+    for _ in range(5):
+        p_rep, s_rep = step(p_rep, s_rep, batch_sharded)
+        p_one, s_one = step(p_one, s_one, batch)
+    np.testing.assert_allclose(np.asarray(p_rep["w"]), np.asarray(p_one["w"]),
+                               rtol=1e-6)
+
+
+def test_per_shard_whitening_runs_and_descends():
+    mesh = make_mesh(8, axis_names=("fsdp", "tp"))
+    h1 = jnp.diag(10.0 ** jnp.linspace(-1, 1, 32))
+    h2 = jnp.diag(10.0 ** jnp.linspace(-0.5, 0.5, 16))
+    w_star = jax.random.normal(jax.random.key(2), (32, 16))
+
+    def loss_fn(p):
+        d = p["w"] - w_star
+        return 0.5 * jnp.sum(d * (h1 @ d @ h2))
+
+    specs = {"w": PS("fsdp", "tp")}
+    params = {"w": jax.device_put(jnp.zeros((32, 16)),
+                                  NamedSharding(mesh, specs["w"]))}
+    tx = per_shard_kron_whiten(mesh, specs, preconditioner_init_scale=1.0,
+                               momentum=0.9)
+    opt = optax.chain(tx, optax.scale_by_learning_rate(
+        optax.linear_schedule(0.1, 0.0, 400)))
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        grads = jax.grad(loss_fn)(params)
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state
+
+    l0 = float(jax.jit(loss_fn)(params))
+    for _ in range(400):
+        params, state = step(params, state)
+        # serialize dispatch: XLA:CPU deadlocks when many async in-flight
+        # programs each contain collectives (not an issue on real TPU)
+        jax.block_until_ready(params)
+    l1 = float(jax.jit(loss_fn)(params))
+    assert l1 < 1e-2 * l0, f"per-shard whitening: {l0} -> {l1}"
+    # factor ownership: each Q factor array carries leading shard axes
+    leaf = state[0].precond[0]
+    assert leaf.q[0].shape[0] == mesh.shape["fsdp"]
+
+
+def test_per_shard_matches_single_device_math():
+    """With a 1-device mesh, per-shard whitening must agree with the plain
+    transform (same seed, same draws)."""
+    mesh = make_mesh(1, axis_names=("fsdp",))
+    g = {"w": jax.random.normal(jax.random.key(3), (8, 4))}
+    p = {"w": jnp.zeros((8, 4))}
+    specs = {"w": PS("fsdp", None)}
+
+    tx_shard = per_shard_kron_whiten(mesh, specs, preconditioner_init_scale=1.0,
+                                     seed=7)
+    tx_plain = popt.scale_by_kron_whiten(preconditioner_init_scale=1.0, seed=7)
+    s1 = tx_shard.init(p)
+    s2 = tx_plain.init(p)
+    u1, s1 = jax.jit(tx_shard.update)(g, s1)
+    u2, s2 = jax.jit(tx_plain.update)(g, s2)
+    # same Q-update math; PRNG streams differ only by the per-shard fold_in
+    # chain, so compare directions not bits
+    cos = float(jnp.sum(u1["w"] * u2["w"]) /
+                (jnp.linalg.norm(u1["w"]) * jnp.linalg.norm(u2["w"])))
+    assert cos > 0.99, f"cosine {cos}"
+
+
+def test_full_dp_fsdp_tp_train_step():
+    """The dryrun_multichip path as a test: tiny GPT-2 sharded over a
+    (dp, fsdp, tp) mesh, one full PSGD train step executes and is finite."""
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
