@@ -1,0 +1,181 @@
+"""Pallas TPU kernels for the PSGD hot path.
+
+``fused_ns_update`` fuses one whole matrix-factor Q update of the default
+Q0.5EQ1.5 geometry (reference psgd.py:394-419 inner loop) into a single MXU
+kernel per (layer-stacked) factor:
+
+    ell   = norm_lower_bound_spd(term1) + term2          (psgd.py:413)
+    L'    = max(betaL L + (1 - betaL) ell, ell)          (psgd.py:414)
+    q1    = q - lr/L' (term1 @ q - term2 q)              (psgd.py:415)
+    q'    = procrustes_step2(q1)                         (psgd.py:101-124)
+
+Everything stays in VMEM between the ~3 full and ~8 thin matmuls — the XLA
+path writes each (n, n) intermediate back to HBM between dots, and for
+transformer-sized factors (n = 768..2304) the Q update is HBM-bound, not
+FLOP-bound.  The subspace-iteration norm bounds use the in-kernel PRNG
+(pltpu.prng_*).
+
+Constraints: real dtypes (fp32/bf16 inputs, fp32 compute), n a multiple of
+128 and small enough for VMEM (n <= 2048); callers fall back to the plain
+XLA path otherwise (precond.kron does this automatically).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NORM_K = 32  # subspace dim for the in-kernel norm bounds
+
+
+def _row_norms(v):
+    return jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
+
+
+def _subspace_bound(a, normalizer, k: int, tiny: float):
+    """Norm lower bound via 2 half-iterations of subspace iteration, with the
+    initial space rotated toward the largest row (reference psgd.py:46-68)."""
+    n = a.shape[0]
+    a = a / normalizer
+    j = jnp.argmax(jnp.sum(a * a, axis=1))
+    # row gather without dynamic_slice (unsupported in Mosaic): masked sum
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    aj = jnp.sum(jnp.where(rows == j, a, 0.0), axis=0).reshape(1, n)
+    bits = pltpu.prng_random_bits((k, n))
+    # uniform(1, 2) from mantissa bits -> N-ish via sum? cheap approach:
+    # map bits to uniform(-1, 1); adequate for a rough norm bound.
+    u = pltpu.bitcast((bits & 0x7FFFFF) | 0x3F800000, jnp.float32) - 1.5
+    v = u * 2.0
+    s = jnp.sum(aj * v, axis=1, keepdims=True)
+    sgn = jnp.where(s >= 0, 1.0, -1.0)
+    v = aj + sgn * v
+    for _ in range(2):
+        v = jnp.dot(v, a, preferred_element_type=jnp.float32)
+        v = v / (_row_norms(v) + tiny)
+        v = jnp.dot(v, a, preferred_element_type=jnp.float32)
+    return normalizer * jnp.max(_row_norms(v))
+
+
+def _trace(m):
+    n = m.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return jnp.sum(jnp.where(row == col, m, 0.0))
+
+
+def _ns_kernel(seed_ref, *refs, beta_l: float, max_step: float, k: int,
+               has_step_mat: bool):
+    if has_step_mat:
+        (ell_ref, step_ref, q_ref, lips_ref, term2_ref, lr_ref,
+         q_out_ref, lips_out_ref) = refs
+    else:
+        (ell_ref, q_ref, lips_ref, term2_ref, lr_ref,
+         q_out_ref, lips_out_ref) = refs
+        step_ref = ell_ref
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[i])
+    tiny = 1e-30
+    lr = lr_ref[0]
+
+    t_ell = ell_ref[:].astype(jnp.float32)
+    q = q_ref[:].astype(jnp.float32)
+    term2 = term2_ref[i]
+    lips = lips_ref[i]
+
+    # ell = norm_lower_bound_spd(ell_mat) + term2; SPD normalizer = max diag
+    n = t_ell.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    diag_max = jnp.max(jnp.where(row == col, t_ell, -jnp.inf))
+    ell = _subspace_bound(t_ell, diag_max + tiny, k, tiny) + term2
+
+    new_lips = jnp.maximum(beta_l * lips + (1.0 - beta_l) * ell, ell)
+    coeff = lr / new_lips
+
+    # q1 = q - coeff (step_mat @ q - term2 q)
+    t_step = t_ell if not has_step_mat else step_ref[:].astype(jnp.float32)
+    q1 = q - coeff * (jnp.dot(t_step, q, preferred_element_type=jnp.float32)
+                      - term2 * q)
+
+    # procrustes_step2 (reference psgd.py:101-124)
+    r = q1.T - q1
+    r_max = jnp.max(jnp.abs(r))
+    r = r / ((_subspace_bound(r, r_max + tiny, k, tiny)) + tiny)
+    rq = jnp.dot(r, q1, preferred_element_type=jnp.float32)
+    rrq = jnp.dot(r, rq, preferred_element_type=jnp.float32)
+    tr_rq = _trace(rq)
+    tr_rrq = _trace(rrq)
+    safe_den = jnp.where(tr_rrq < 0, tr_rrq, -1.0)
+    a = jnp.where(tr_rrq < 0, jnp.minimum(-tr_rq / safe_den, max_step), max_step)
+    q2 = q1 + a * (rq + (0.5 * a) * rrq)
+
+    q_out_ref[:] = q2.astype(q_out_ref.dtype)
+    lips_out_ref[i] = new_lips
+
+
+def fused_ns_update(term1: jax.Array, q: jax.Array, lips: jax.Array,
+                    term2: jax.Array, seed: jax.Array, lr: float,
+                    beta_l: float, max_step: float = 1 / 8,
+                    k: int = NORM_K,
+                    step_mat: jax.Array | None = None
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Batched fused Q0.5EQ1.5 matrix-factor update.
+
+    Args:
+      term1: (B, n, n) matrix whose spectral-norm bound gives ell
+             (whiten: exprGs(Pg, Pg); Newton: term1 + term2_mat).
+      q:     (B, n, n) current factor.
+      lips:  (B,) float32 L-constants.
+      term2: (B,) float32 scalar subtracted as term2*I in the step
+             (whiten: numel/n; Newton: 0).
+      seed:  (B,) int32 PRNG seeds.
+      step_mat: optional (B, n, n) step matrix when it differs from term1
+             (Newton: term1 - term2_mat).
+      lr, beta_l: python floats.
+    Returns (new_q (B, n, n), new_lips (B,)).
+    """
+    b, n, _ = term1.shape
+    has_step = step_mat is not None
+    kernel = functools.partial(_ns_kernel, beta_l=float(beta_l),
+                               max_step=float(max_step), k=k,
+                               has_step_mat=has_step)
+    mat_spec = pl.BlockSpec((1, n, n), lambda i, s: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [mat_spec] + ([mat_spec] if has_step else []) + \
+        [mat_spec, smem, smem, smem]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(b,), in_specs=in_specs,
+        out_specs=[mat_spec, smem])
+
+    def kernel3d(seed_ref, *refs):
+        squeezed = [r.at[0] if r.shape[:1] == (1,) and len(r.shape) == 3 else r
+                    for r in refs]
+        kernel(seed_ref, *squeezed)
+
+    operands = [term1] + ([step_mat] if has_step else []) + \
+        [q, lips.astype(jnp.float32), term2.astype(jnp.float32),
+         jnp.asarray(lr, jnp.float32).reshape(1)]
+    new_q, new_l = pl.pallas_call(
+        kernel3d,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, n, n), q.dtype),
+                   jax.ShapeDtypeStruct((b,), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(seed.astype(jnp.int32), *operands)
+    return new_q, new_l
+
+
+def ns_update_supported(n: int, dtype) -> bool:
+    """Whether the fused kernel handles this factor (see module docstring)."""
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        return False
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        return False
+    return n % 128 == 0 and 128 <= n <= 2048

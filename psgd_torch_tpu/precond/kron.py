@@ -62,6 +62,41 @@ def canonical_dq(dq: str) -> str:
     return dq
 
 
+# Fused Pallas NS-update kernel gate: None = auto (on TPU backends, for
+# supported factor shapes/dtypes), True/False = force.
+_USE_FUSED_NS: bool | None = None
+
+
+def set_fused_ns(enabled: bool | None) -> None:
+    """Override the fused-Pallas-kernel policy for the Q0.5EQ1.5 updates."""
+    global _USE_FUSED_NS
+    _USE_FUSED_NS = enabled
+
+
+def _fused_ns_enabled(n: int, dtype) -> bool:
+    if _USE_FUSED_NS is False:
+        return False
+    from ..ops.pallas_kernels import ns_update_supported
+    if not ns_update_supported(n, dtype):
+        return False
+    if _USE_FUSED_NS is True:
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _fused_ns_step(f, term1, lip, term2_scalar, key, lr, beta_l, norm_k,
+                   step_mat=None):
+    """Single-factor fused NS update (term1 bound + L + step + Procrustes)
+    through the Pallas kernel (ops.pallas_kernels.fused_ns_update)."""
+    from ..ops.pallas_kernels import fused_ns_update
+    seed = jax.random.randint(key, (1,), 0, 2 ** 31 - 1)
+    t2 = jnp.asarray([term2_scalar], jnp.float32)
+    sm = None if step_mat is None else step_mat[None]
+    fq, new_l = fused_ns_update(term1[None], f[None], lip[None].astype(jnp.float32),
+                                t2, seed, lr, beta_l, k=norm_k, step_mat=sm)
+    return fq[0], new_l[0].astype(lip.dtype)
+
+
 class KronPlan(NamedTuple):
     """Static (hashable) contraction plan for one tensor's Kron preconditioner.
 
@@ -392,6 +427,10 @@ def _whiten_q05eq15(state, plan, g, key, lr, beta_l, damping, norm_k):
             ell = jnp.max(jnp.real(term1)) + term2
             lip = _update_lips(state.lips[i], ell, beta_l)
             fq = f * (1.0 - _coeff(lr, lip, f.dtype) * (term1 - term2))
+        elif _fused_ns_enabled(f.shape[0], f.dtype):
+            fq, lip = _fused_ns_step(f, term1, state.lips[i], term2,
+                                     jax.random.fold_in(krest, i), lr,
+                                     beta_l, norm_k)
         else:
             ell = norm_lower_bound_spd(term1, jax.random.fold_in(krest, i), k=norm_k) + term2
             lip = _update_lips(state.lips[i], ell, beta_l)
@@ -554,6 +593,10 @@ def _newton_q05eq15(state, plan, v, h, key, lr, beta_l, damping, norm_k):
             ell = jnp.max(jnp.real(term1 + term2))
             lip = _update_lips(state.lips[i], ell, beta_l)
             fq = f * (1.0 - _coeff(lr, lip, f.dtype) * (term1 - term2))
+        elif _fused_ns_enabled(f.shape[0], f.dtype):
+            fq, lip = _fused_ns_step(f, term1 + term2, state.lips[i], 0.0,
+                                     jax.random.fold_in(krest, i), lr,
+                                     beta_l, norm_k, step_mat=term1 - term2)
         else:
             ell = norm_lower_bound_spd(term1 + term2, jax.random.fold_in(krest, i), k=norm_k)
             lip = _update_lips(state.lips[i], ell, beta_l)

@@ -12,5 +12,8 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# PSGD_TEST_TPU=1 runs the suite on the real TPU backend (needed for the
+# Pallas kernel tests, which skip on CPU).
+if not os.environ.get("PSGD_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)

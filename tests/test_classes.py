@@ -1,0 +1,75 @@
+"""Closure-style class API tests (reference L2 parity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psgd_torch_tpu.optim import classes
+
+
+def rosenbrock(x):
+    x1, x2 = x[0::2], x[1::2]
+    return jnp.sum(100.0 * (x2 - x1 ** 2) ** 2 + (1.0 - x1) ** 2)
+
+
+def test_dense_newton_class_rosenbrock():
+    params = jnp.zeros(50)
+    opt = classes.DenseNewton(params, lr_params=1.0, lr_preconditioner=0.5,
+                              momentum=0.9)
+    for _ in range(1500):
+        loss, params = opt.step(rosenbrock, params)
+    assert float(loss) < 1e-7, float(loss)
+
+
+def test_kron_whiten_class_with_batch_args_and_annealing():
+    h = jnp.diag(10.0 ** jnp.linspace(-1, 1, 12))
+    w_star = jax.random.normal(jax.random.key(0), (12, 4))
+
+    def loss_fn(w, scale):
+        d = w - w_star
+        return 0.5 * jnp.sum(d * (h @ d)) * scale
+
+    params = jnp.zeros((12, 4))
+    opt = classes.KronWhiten(params, lr_params=0.05,
+                             preconditioner_init_scale=1.0)
+    for i in range(300):
+        # mutable-on-the-fly hyperparameters (reference docstring contract)
+        opt.lr_params = 0.05 * (1.0 - i / 300)
+        if i == 150:
+            opt.preconditioner_update_probability = 0.5  # rebuild path
+        loss, params = opt.step(loss_fn, params, jnp.asarray(1.0))
+    assert float(loss) < 1e-3, float(loss)
+
+
+def test_kron_newton_class_finite_diff():
+    h = jnp.diag(10.0 ** jnp.linspace(-1, 1, 10))
+
+    def loss_fn(w):
+        return 0.5 * w @ (h @ w)
+
+    params = jnp.ones(10)
+    opt = classes.KronNewton(params, lr_params=0.5, grad_clip_max_norm=10.0,
+                             exact_hessian_vector_product=False)
+    for _ in range(200):
+        loss, params = opt.step(loss_fn, params)
+    assert float(loss) < 1e-6, float(loss)
+
+
+def test_lra_classes_run():
+    def loss_fn(w):
+        return 0.5 * jnp.sum(w ** 2 * jnp.linspace(0.1, 10.0, w.size))
+
+    params = jnp.ones(30)
+    opt = classes.LRANewton(params, rank_of_approximation=5, lr_params=0.5,
+                            grad_clip_max_norm=10.0)
+    for _ in range(300):
+        loss, params = opt.step(loss_fn, params)
+    assert float(loss) < 1e-5, float(loss)
+
+    params2 = jnp.ones(30)
+    opt2 = classes.LRAWhiten(params2, rank_of_approximation=5, lr_params=0.02)
+    l0 = float(loss_fn(params2))
+    for _ in range(300):
+        loss2, params2 = opt2.step(loss_fn, params2)
+    assert float(loss2) < 0.1 * l0
