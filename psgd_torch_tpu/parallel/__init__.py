@@ -1,6 +1,7 @@
 """L3 distributed layer: meshes, shardings, per-shard whitening."""
 
 from .mesh import (
+    drift_check,
     gpt2_partition_specs,
     make_mesh,
     named_shardings,

@@ -94,23 +94,56 @@ def named_shardings(mesh: Mesh, specs: Any) -> Any:
         is_leaf=lambda x: isinstance(x, PS))
 
 
-def psgd_state_specs(param_specs: Any, state: PSGDState) -> PSGDState:
+def psgd_state_specs(param_specs: Any, state: PSGDState,
+                     scanned_layers: Any = None,
+                     stack_axis: Optional[str] = None) -> PSGDState:
     """Shardings for a PSGDState: momentum follows the params, scalars and
-    PRNG key replicated, Kron Q/L factors replicated.
+    PRNG key replicated, Kron Q/L factors replicated — unless ``stack_axis``
+    is given.
 
     Kron factors are O(n_i^2) per tensor dim — for transformer weights this
     is ~(d^2 + d'^2) vs d*d' parameters, so replicating them costs little
     memory while keeping the Q-update free of collectives; shard the params
     (fsdp) and the gradients instead.  parallel.sharded provides the
     per-shard-whitening mode when factors must be local.
+
+    ``stack_axis`` (with the transform's ``scanned_layers`` mask) shards the
+    *leading layer-stack axis* of scanned leaves' Q/L factors over that mesh
+    axis — ZeRO-style partitioning of the preconditioner: each device fits
+    and applies Q for only n_layer/k layers (GSPMD partitions the vmapped
+    update along the stack), and the preconditioned updates are re-gathered
+    by one all-gather on the ICI.  Q-update FLOPs and factor memory scale
+    1/k with zero math change (the reference has no equivalent; its DDP
+    wrapper redundantly updates every Q on every rank).  n_layer must be
+    divisible by the mesh axis size.
     """
     replicate = lambda st: jax.tree_util.tree_map(lambda _: PS(), st)
+    flags = None
+    if stack_axis is not None and scanned_layers is not None:
+        flags = [bool(f) for f in jax.tree_util.tree_leaves(scanned_layers)]
+
+    def stacked_kron(ks: KronState) -> KronState:
+        return KronState(
+            q=tuple(PS(stack_axis, *([None] * (f.ndim - 1))) for f in ks.q),
+            lips=tuple(PS(stack_axis, *([None] * (l.ndim - 1)))
+                       for l in ks.lips))
+
+    def precond_specs(precond):
+        if flags is None or not isinstance(precond, tuple):
+            return replicate(precond)
+        out = []
+        for ks, f in zip(precond, flags):
+            if f and isinstance(ks, KronState):
+                out.append(stacked_kron(ks))
+            else:
+                out.append(replicate(ks))
+        return tuple(out)
 
     def one(st):
         if isinstance(st, PSGDState):
             mu_spec = None if st.mu is None else param_specs
             return PSGDState(count=PS(), key=PS(), mu=mu_spec,
-                             precond=replicate(st.precond))
+                             precond=precond_specs(st.precond))
         return replicate(st)
 
     if isinstance(state, PSGDState):
@@ -118,3 +151,30 @@ def psgd_state_specs(param_specs: Any, state: PSGDState) -> PSGDState:
     if isinstance(state, tuple):  # optax.chain state
         return tuple(one(st) for st in state)
     return replicate(state)
+
+
+def drift_check(tree: Any, mesh: Mesh, axis: str) -> Any:
+    """Max |x - mean_over(axis)| per leaf: the SPMD debug analogue of the
+    reference's resync broadcasts (wrapped_as_torch_optimizer_for_ddp.py:163-170).
+
+    Under correct SPMD this is exactly 0; a nonzero value means a replica's
+    copy of nominally-replicated state has drifted (e.g. from mixing traced
+    and host computations).  Cost: one psum per leaf."""
+    try:
+        from jax import shard_map as _shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _shard_map
+    import inspect
+    kw = {("check_vma" if "check_vma" in
+           inspect.signature(_shard_map).parameters else "check_rep"): False}
+
+    def local(x):
+        mean = jax.lax.pmean(x, axis)
+        return jnp.max(jnp.abs(x - mean))
+
+    def one(x):
+        spec = PS(*([None] * x.ndim))
+        fn = _shard_map(local, mesh=mesh, in_specs=spec, out_specs=PS(), **kw)
+        return fn(x)
+
+    return jax.tree_util.tree_map(one, tree)

@@ -125,3 +125,57 @@ def test_full_dp_fsdp_tp_train_step():
     (dp, fsdp, tp) mesh, one full PSGD train step executes and is finite."""
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_stack_sharded_precond_matches_replicated():
+    """ZeRO-style preconditioner partitioning: sharding the scanned-layer
+    stack axis of the Kron Q/L factors over a mesh axis must not change the
+    math — GSPMD partitions the vmapped Q update (each device fits its own
+    layers' factors) and re-gathers the preconditioned updates."""
+    mesh = make_mesh(8)  # (dp 1, fsdp 4, tp 2)
+    cfg = gpt2.tiny_config(n_layer=4, n_head=4, n_embd=64, block_size=32,
+                           vocab_size=256, compute_dtype=jnp.float32)
+    params = gpt2.init_gpt2(jax.random.key(0), cfg)
+    mask = gpt2.scanned_layers_mask(params)
+    tokens, targets = gpt2.synthetic_lm_batch(jax.random.key(1), 8, 32,
+                                              cfg.vocab_size)
+    opt = popt.kron_whiten(learning_rate=1e-3, momentum=0.9,
+                           preconditioner_init_scale=1.0,
+                           preconditioner_max_skew=2.0, scanned_layers=mask)
+    p_specs = gpt2_partition_specs()
+    p_shard = named_shardings(mesh, p_specs)
+
+    def run(stack_axis):
+        state = opt.init(params)
+        s_specs = psgd_state_specs(p_specs, state, scanned_layers=mask,
+                                   stack_axis=stack_axis)
+        state = jax.device_put(state, named_shardings(mesh, s_specs))
+        p = jax.device_put(params, p_shard)
+
+        @jax.jit
+        def step(p, state):
+            loss, grads = jax.value_and_grad(gpt2.loss_gpt2)(p, tokens,
+                                                             targets, cfg)
+            updates, state = opt.update(grads, state, p)
+            return optax.apply_updates(p, updates), state, loss
+
+        with mesh:
+            for _ in range(3):
+                p, state, loss = step(p, state)
+                jax.block_until_ready(p)
+        return p, float(loss)
+
+    p_rep, l_rep = run(None)
+    p_zero, l_zero = run("fsdp")  # n_layer 4 divisible by fsdp 4
+    np.testing.assert_allclose(l_zero, l_rep, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p_zero["blocks"]["mlp_fc_w"]),
+        np.asarray(p_rep["blocks"]["mlp_fc_w"]), atol=1e-5)
+
+
+def test_drift_check_zero_and_nonzero():
+    from psgd_torch_tpu.parallel import drift_check
+    mesh = make_mesh(8, axis_names=("dp",))
+    x = {"a": jnp.ones((8, 4)), "b": jnp.arange(8.0)}
+    d = drift_check(x, mesh, "dp")
+    assert float(d["a"]) == 0.0 and float(d["b"]) == 0.0
