@@ -103,7 +103,8 @@ def main():
             learning_rate=1e-3 / 4, momentum=0.9, whiten_grad=False,
             preconditioner_max_skew=2.0, preconditioner_init_scale=1.0,
             preconditioner_update_probability=p_update,
-            preconditioner_dtype=pdt, norm_k=nk, weight_decay=0.01,
+            preconditioner_dtype=pdt, momentum_dtype=pdt,
+            norm_k=nk, weight_decay=0.01,
             scanned_layers=mask)
 
     # --- PSGD at the production operating point (p_update = 0.1)
@@ -118,22 +119,37 @@ def main():
                                     (params, opt1.init(params), tokens, targets))
     log(f"psgd step (p=1.0): {t_psgd1*1e3:.2f} ms (loss {l_psgd1:.3f})")
 
-    # --- isolated Q-update + Pg-apply (the primary kernel metric)
+    # --- isolated Q-update + Pg-apply (the primary kernel metric).
+    # Checksums cover EVERY update and state leaf (a partial checksum lets
+    # XLA dead-code-eliminate most of the work), and the cost is measured as
+    # the slope between two loop lengths (the remote-runtime dispatch has a
+    # fixed ~25 ms per-call latency that a single timing would absorb).
     tx = popt.scale_by_kron_whiten(preconditioner_max_skew=2.0,
                                    preconditioner_init_scale=1.0,
                                    preconditioner_dtype=pdt, norm_k=nk,
                                    scanned_layers=mask)
     grads = jax.jit(jax.grad(loss_fn))(params, tokens, targets)
 
-    @jax.jit
-    def q_loop(grads, state):
-        def body(_, s):
-            u, s = tx.update(grads, s)
-            return s
-        s = jax.lax.fori_loop(0, N_STEPS, body, state)
-        return jnp.zeros(()), jnp.sum(jax.tree_util.tree_leaves(s.precond)[0].astype(jnp.float32))
+    def cksum(tree):
+        return sum(jnp.sum(x.astype(jnp.float32))
+                   for x in jax.tree_util.tree_leaves(tree))
 
-    t_q, _ = time_program(q_loop, (grads, tx.init(params)))
+    def q_loop(n):
+        @jax.jit
+        def run(grads, state):
+            def body(_, carry):
+                s, acc = carry
+                u, s = tx.update(grads, s)
+                return s, acc + cksum(u)
+            s, acc = jax.lax.fori_loop(
+                0, n, body, (state, jnp.zeros((), jnp.float32)))
+            return jnp.zeros(()), acc + cksum(s.precond)
+        return run
+
+    n1, n2 = (8, 64) if on_tpu else (2, 8)
+    t1, _ = time_program(q_loop(n1), (grads, tx.init(params)), n_inner=1)
+    t2, _ = time_program(q_loop(n2), (grads, tx.init(params)), n_inner=1)
+    t_q = max((t2 - t1) / (n2 - n1), 0.0)
     log(f"Q-update + Pg-apply: {t_q*1e6:.0f} us/step "
         f"({100*t_q/t_adamw:.1f}% of an adamw step)")
 

@@ -53,12 +53,13 @@ def _squeezed_shape(shape) -> Tuple[int, ...]:
 
 def _ema_update(mu, g, count, momentum):
     """Bias-warmed EMA: beta = min(count / (count+1), momentum)
-    (psgd.py:604-611)."""
+    (psgd.py:604-611).  Accumulates in the momentum buffer's dtype (the
+    reference wrappers keep momentum in the preconditioner dtype, ddp:139-143)."""
     beta = jnp.minimum(count / (count + 1.0), momentum)
 
     def upd(m, x):
-        b = beta.astype(real_dtype_of(x.dtype))
-        return b * m + (1.0 - b) * x
+        b = beta.astype(real_dtype_of(m.dtype))
+        return b * m + (1.0 - b) * x.astype(m.dtype)
 
     return jax.tree_util.tree_map(upd, mu, g)
 
@@ -192,6 +193,7 @@ def scale_by_kron_whiten(
     betaL: float = 0.9,
     damping: float = 1e-9,
     momentum: float = 0.0,
+    momentum_dtype: Any = None,
     grad_clip_max_amps: Tuple[float, float] = (2.0, 10.0),
     preconditioner_update_probability: float = 1.0,
     update_preconditioner_first: bool = True,
@@ -233,7 +235,9 @@ def scale_by_kron_whiten(
         kron_states = [
             _init_kron_leaf(p, scale0, _qdtype(l), f, l.shape[0] if f else 1)
             for p, l, f in zip(plans, leaves, flags)]
-        mu = jax.tree_util.tree_map(jnp.zeros_like, params) if momentum > 0 else None
+        mu = (jax.tree_util.tree_map(
+            lambda x: jnp.zeros(x.shape, momentum_dtype or x.dtype), params)
+            if momentum > 0 else None)
         return PSGDState(count=jnp.zeros((), jnp.int32), key=jax.random.PRNGKey(seed),
                          mu=mu, precond=tuple(kron_states))
 
@@ -309,15 +313,33 @@ def scale_by_kron_whiten(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def kron_whiten(learning_rate: float | Callable = 1e-3,
-                weight_decay: float = 0.0, **kwargs) -> optax.GradientTransformation:
-    """KronWhiten optimizer: whitening transform + decoupled weight decay +
-    -lr scaling.  Matches reference defaults (lr_params=1e-3)."""
-    txs = [scale_by_kron_whiten(**kwargs)]
-    if weight_decay:
+def _with_weight_decay(core, learning_rate, weight_decay, weight_decay_mode):
+    """Chain a scale_by_* core with weight decay and -lr scaling.
+
+    'decoupled': wd added to the post-preconditioner update (AdamW-style,
+    the reference wrapper's `p *= 1 - wd*lr`, ddp:118-119); 'classic': wd
+    added to the raw gradient before preconditioning (`g += wd*p`,
+    ddp:121-122)."""
+    if weight_decay_mode not in ("decoupled", "classic"):
+        raise ValueError(f"unknown weight_decay_mode {weight_decay_mode!r}")
+    txs = []
+    if weight_decay and weight_decay_mode == "classic":
+        txs.append(optax.add_decayed_weights(weight_decay))
+    txs.append(core)
+    if weight_decay and weight_decay_mode == "decoupled":
         txs.append(optax.add_decayed_weights(weight_decay))
     txs.append(optax.scale_by_learning_rate(learning_rate))
     return optax.chain(*txs)
+
+
+def kron_whiten(learning_rate: float | Callable = 1e-3,
+                weight_decay: float = 0.0,
+                weight_decay_mode: str = "decoupled",
+                **kwargs) -> optax.GradientTransformation:
+    """KronWhiten optimizer: whitening transform + weight decay + -lr
+    scaling.  Matches reference defaults (lr_params=1e-3)."""
+    return _with_weight_decay(scale_by_kron_whiten(**kwargs), learning_rate,
+                              weight_decay, weight_decay_mode)
 
 
 # ---------------------------------------------------------------------------
@@ -333,6 +355,7 @@ def scale_by_kron_newton(
     betaL: float = 0.9,
     damping: float = 1e-9,
     momentum: float = 0.0,
+    momentum_dtype: Any = None,
     grad_clip_max_norm: float = float("inf"),
     preconditioner_update_probability: float = 1.0,
     dq: str = "Q0.5EQ1.5",
@@ -369,7 +392,9 @@ def scale_by_kron_newton(
         kron_states = [
             _init_kron_leaf(p, scale0, _qdtype(l), f, l.shape[0] if f else 1)
             for p, l, f in zip(plans, leaves, flags)]
-        mu = jax.tree_util.tree_map(jnp.zeros_like, params) if momentum > 0 else None
+        mu = (jax.tree_util.tree_map(
+            lambda x: jnp.zeros(x.shape, momentum_dtype or x.dtype), params)
+            if momentum > 0 else None)
         return PSGDState(count=jnp.zeros((), jnp.int32), key=jax.random.PRNGKey(seed),
                          mu=mu, precond=tuple(kron_states))
 
@@ -440,12 +465,10 @@ def scale_by_kron_newton(
 
 
 def kron_newton(learning_rate: float | Callable = 0.01,
-                weight_decay: float = 0.0, **kwargs):
-    txs = [scale_by_kron_newton(**kwargs)]
-    if weight_decay:
-        txs.append(optax.add_decayed_weights(weight_decay))
-    txs.append(optax.scale_by_learning_rate(learning_rate))
-    return optax.chain(*txs)
+                weight_decay: float = 0.0,
+                weight_decay_mode: str = "decoupled", **kwargs):
+    return _with_weight_decay(scale_by_kron_newton(**kwargs), learning_rate,
+                              weight_decay, weight_decay_mode)
 
 
 # ---------------------------------------------------------------------------
@@ -466,6 +489,7 @@ def scale_by_lra_whiten(
     betaL: float = 0.9,
     damping: float = 1e-9,
     momentum: float = 0.0,
+    momentum_dtype: Any = None,
     grad_clip_max_amps: Tuple[float, float] = (2.0, 10.0),
     preconditioner_update_probability: float = 1.0,
     update_preconditioner_first: bool = True,
@@ -484,7 +508,8 @@ def scale_by_lra_whiten(
         scale0 = 1.0 if preconditioner_init_scale is None else preconditioner_init_scale
         st = lra_p.init_lra(n, rank_of_approximation, jax.random.key(seed + 1),
                             scale0, dt)
-        mu = jnp.zeros_like(vec) if momentum > 0 else None
+        mu = (jnp.zeros(vec.shape, momentum_dtype or vec.dtype)
+              if momentum > 0 else None)
         return PSGDState(count=jnp.zeros((), jnp.int32), key=jax.random.PRNGKey(seed),
                          mu=mu, precond=st)
 
@@ -532,12 +557,10 @@ def scale_by_lra_whiten(
 
 
 def lra_whiten(learning_rate: float | Callable = 1e-3,
-               weight_decay: float = 0.0, **kwargs):
-    txs = [scale_by_lra_whiten(**kwargs)]
-    if weight_decay:
-        txs.append(optax.add_decayed_weights(weight_decay))
-    txs.append(optax.scale_by_learning_rate(learning_rate))
-    return optax.chain(*txs)
+               weight_decay: float = 0.0,
+               weight_decay_mode: str = "decoupled", **kwargs):
+    return _with_weight_decay(scale_by_lra_whiten(**kwargs), learning_rate,
+                              weight_decay, weight_decay_mode)
 
 
 def scale_by_lra_newton(
@@ -547,6 +570,7 @@ def scale_by_lra_newton(
     betaL: float = 0.9,
     damping: float = 1e-9,
     momentum: float = 0.0,
+    momentum_dtype: Any = None,
     grad_clip_max_norm: float = float("inf"),
     preconditioner_update_probability: float = 1.0,
     preconditioner_dtype: Any = None,
@@ -560,7 +584,8 @@ def scale_by_lra_newton(
         scale0 = 1.0 if preconditioner_init_scale is None else preconditioner_init_scale
         st = lra_p.init_lra(vec.size, rank_of_approximation,
                             jax.random.key(seed + 1), scale0, dt)
-        mu = jnp.zeros_like(vec) if momentum > 0 else None
+        mu = (jnp.zeros(vec.shape, momentum_dtype or vec.dtype)
+              if momentum > 0 else None)
         return PSGDState(count=jnp.zeros((), jnp.int32), key=jax.random.PRNGKey(seed),
                          mu=mu, precond=st)
 
@@ -616,12 +641,10 @@ def scale_by_lra_newton(
 
 
 def lra_newton(learning_rate: float | Callable = 0.01,
-               weight_decay: float = 0.0, **kwargs):
-    txs = [scale_by_lra_newton(**kwargs)]
-    if weight_decay:
-        txs.append(optax.add_decayed_weights(weight_decay))
-    txs.append(optax.scale_by_learning_rate(learning_rate))
-    return optax.chain(*txs)
+               weight_decay: float = 0.0,
+               weight_decay_mode: str = "decoupled", **kwargs):
+    return _with_weight_decay(scale_by_lra_newton(**kwargs), learning_rate,
+                              weight_decay, weight_decay_mode)
 
 
 # ---------------------------------------------------------------------------
@@ -635,6 +658,7 @@ def scale_by_dense_newton(
     betaL: float = 0.9,
     damping: float = 1e-9,
     momentum: float = 0.0,
+    momentum_dtype: Any = None,
     grad_clip_max_norm: float = float("inf"),
     preconditioner_update_probability: float = 1.0,
     dq: str = "Q0.5EQ1.5",
@@ -650,7 +674,8 @@ def scale_by_dense_newton(
         dt = preconditioner_dtype if preconditioner_dtype is not None else vec.dtype
         scale0 = 1.0 if preconditioner_init_scale is None else preconditioner_init_scale
         st = dense_p.init_dense(vec.size, scale0, dq, dt)
-        mu = jnp.zeros_like(vec) if momentum > 0 else None
+        mu = (jnp.zeros(vec.shape, momentum_dtype or vec.dtype)
+              if momentum > 0 else None)
         return PSGDState(count=jnp.zeros((), jnp.int32), key=jax.random.PRNGKey(seed),
                          mu=mu, precond=st)
 
@@ -709,9 +734,7 @@ def scale_by_dense_newton(
 
 
 def dense_newton(learning_rate: float | Callable = 0.01,
-                 weight_decay: float = 0.0, **kwargs):
-    txs = [scale_by_dense_newton(**kwargs)]
-    if weight_decay:
-        txs.append(optax.add_decayed_weights(weight_decay))
-    txs.append(optax.scale_by_learning_rate(learning_rate))
-    return optax.chain(*txs)
+                 weight_decay: float = 0.0,
+                 weight_decay_mode: str = "decoupled", **kwargs):
+    return _with_weight_decay(scale_by_dense_newton(**kwargs), learning_rate,
+                              weight_decay, weight_decay_mode)

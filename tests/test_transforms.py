@@ -207,3 +207,24 @@ def test_bf16_preconditioner_dtype():
     kron_state = state[0].precond[0] if isinstance(state, tuple) else state.precond[0]
     assert kron_state.q[0].dtype == jnp.bfloat16
     assert kron_state.lips[0].dtype == jnp.float32
+
+
+def test_weight_decay_modes():
+    """Classic wd preconditions (g + wd*p); decoupled adds wd*p to the
+    whitened update (reference ddp wrapper :117-122)."""
+    def loss_fn(p):
+        return 0.5 * jnp.sum(p * p * jnp.linspace(1.0, 10.0, 16))
+
+    p = jnp.ones(16)
+    g = jax.grad(loss_fn)(p)
+    outs = {}
+    for mode in ("decoupled", "classic"):
+        opt = popt.kron_whiten(1e-2, weight_decay=0.1, weight_decay_mode=mode,
+                               preconditioner_init_scale=1.0)
+        u, _ = jax.jit(opt.update)(g, opt.init(p), p)
+        outs[mode] = np.asarray(u)
+    assert np.all(np.isfinite(outs["decoupled"]))
+    assert np.all(np.isfinite(outs["classic"]))
+    assert not np.allclose(outs["decoupled"], outs["classic"])
+    with pytest.raises(ValueError):
+        popt.kron_whiten(1e-2, weight_decay=0.1, weight_decay_mode="bogus")
