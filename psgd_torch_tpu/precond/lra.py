@@ -81,6 +81,20 @@ def precond_grad(state: LRAState, g: jax.Array) -> jax.Array:
     return out[:, 0] if squeeze else out
 
 
+def log_det(state: LRAState) -> jax.Array:
+    """log |det Q| = sum log d + log |det(I + V^T U)| (matrix determinant
+    lemma).  At the Newton fixed point P = Q^T Q = H^-1, so
+    log det(Hessian) = -2 log det Q — the model-description-length estimate
+    of reference misc/how_psgd_generalize.py:162-169.  Computed in fp32+."""
+    d32 = lift2single(state.d)
+    out = jnp.sum(jnp.log(jnp.abs(d32)))
+    if state.rank > 0:
+        small = jnp.eye(state.rank, dtype=d32.dtype) \
+            + lift2single(state.v).T @ lift2single(state.u)
+        out = out + jnp.linalg.slogdet(small)[1]
+    return out
+
+
 def _max_update(lip, ell, beta_l):
     ell = ell.astype(lip.dtype)
     return jnp.maximum(beta_l * lip + (1.0 - beta_l) * ell, ell)

@@ -139,3 +139,25 @@ def test_dense_whiten_fixed_point():
     p = state.q.T @ state.q
     np.testing.assert_allclose(np.asarray(p), np.asarray(jnp.linalg.inv(h)),
                                atol=0.15)
+
+
+def test_lra_log_det_matches_dense():
+    """log_det(state) must equal log|det| of the explicit dense Q
+    (matrix determinant lemma path)."""
+    n, r = 12, 3
+    st = lra.init_lra(n, r, jax.random.key(5), 1.3, jnp.float64)
+    # randomize so the test is not at the symmetric init
+    st = st._replace(
+        u=jax.random.normal(jax.random.key(6), (n, r), jnp.float64) * 0.3,
+        v=jax.random.normal(jax.random.key(7), (n, r), jnp.float64) * 0.3,
+        d=jnp.abs(jax.random.normal(jax.random.key(8), (n, 1), jnp.float64)) + 0.5)
+    q_dense = (jnp.eye(n) + st.u @ st.v.T) @ jnp.diag(st.d[:, 0])
+    want = jnp.linalg.slogdet(q_dense)[1]
+    got = lra.log_det(st)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-10)
+
+
+def test_lra_log_det_rank0():
+    st = lra.init_lra(8, 0, jax.random.key(5), 2.0, jnp.float64)
+    np.testing.assert_allclose(float(lra.log_det(st)), 8 * np.log(2.0),
+                               rtol=1e-12)
