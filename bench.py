@@ -176,5 +176,79 @@ def main():
     print(json.dumps(result), flush=True)
 
 
+def convergence(n_steps: int = 300):
+    """`python bench.py --convergence`: train GPT-2 with AdamW and PSGD-Kron
+    at the reference's matched settings (misc/gpt2.py:400-413; PSGD lr =
+    Adam lr / sqrt((1+beta)/(1-beta)) = 1e-3/4) on the synthetic LM corpus
+    and compare end-of-run train loss — the 'matching loss curve' half of the
+    BASELINE.md target.  Fresh batch per step, loss averaged over the last
+    quarter of training."""
+    import psgd_torch_tpu.optim as popt
+    from psgd_torch_tpu.models import gpt2
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    if on_tpu:
+        cfg = gpt2.gpt2_124m(compute_dtype=jnp.bfloat16, remat=False)
+        batch = 4
+    else:
+        cfg = gpt2.tiny_config(n_layer=2, n_embd=128, n_head=4,
+                               vocab_size=1024, block_size=64,
+                               compute_dtype=jnp.float32)
+        batch, n_steps = 4, min(n_steps, 60)
+    key = jax.random.key(0)
+    params0 = gpt2.init_gpt2(key, cfg)
+    mask = gpt2.scanned_layers_mask(params0)
+    pdt = jnp.bfloat16 if on_tpu else None
+
+    def run(opt):
+        state = opt.init(params0)
+
+        @jax.jit
+        def step(params, state, i):
+            tokens, targets = gpt2.synthetic_lm_batch(
+                jax.random.fold_in(jax.random.key(1), i), batch,
+                cfg.block_size, cfg.vocab_size)
+            loss, grads = jax.value_and_grad(gpt2.loss_gpt2)(
+                params, tokens, targets, cfg)
+            updates, state = opt.update(grads, state, params)
+            return optax.apply_updates(params, updates), state, loss
+
+        params, tail = params0, []
+        for i in range(n_steps):
+            params, state, loss = step(params, state, i)
+            if i >= (3 * n_steps) // 4:
+                tail.append(float(loss))
+        return sum(tail) / len(tail)
+
+    adamw = optax.adamw(1e-3, b1=0.9, b2=0.95, weight_decay=0.01)
+    l_adamw = run(adamw)
+    log(f"adamw   loss (last quarter mean): {l_adamw:.4f}")
+
+    psgd = popt.kron_whiten(
+        learning_rate=1e-3 / 4, momentum=0.9, whiten_grad=False,
+        preconditioner_max_skew=2.0, preconditioner_init_scale=1.0,
+        preconditioner_update_probability=0.1,
+        preconditioner_dtype=pdt, momentum_dtype=pdt,
+        norm_k=128 if on_tpu else 32, weight_decay=0.01,
+        scanned_layers=mask)
+    l_psgd = run(psgd)
+    log(f"psgd    loss (last quarter mean): {l_psgd:.4f}")
+
+    result = {
+        "metric": "gpt2_convergence_psgd_vs_adamw_loss_ratio",
+        "value": round(l_psgd / l_adamw, 4),
+        "unit": "x (<= 1.0 means PSGD at or below AdamW loss)",
+        "vs_baseline": round((l_psgd / l_adamw) / 1.0, 4),
+        "detail": {"device": str(dev), "steps": n_steps, "batch": batch,
+                   "adamw_loss": round(l_adamw, 4),
+                   "psgd_loss": round(l_psgd, 4)},
+    }
+    print(json.dumps(result), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--convergence" in sys.argv:
+        convergence()
+    else:
+        main()
