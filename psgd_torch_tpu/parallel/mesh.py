@@ -58,6 +58,33 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(mesh_devices, tuple(axis_names))
 
 
+def make_multihost_mesh(axis_names: Sequence[str] = ("dcn", "fsdp", "tp"),
+                        ici_shape: Optional[Sequence[int]] = None) -> Mesh:
+    """Mesh for multi-host TPU pods: the leading axis spans hosts over DCN,
+    the trailing axes span the per-host ICI torus.
+
+    Call ``jax.distributed.initialize()`` first on each host.  Uses
+    ``mesh_utils.create_hybrid_device_mesh`` so collectives on the trailing
+    axes ride ICI and only the leading axis crosses DCN — shard params over
+    the ICI axes (fsdp/tp) and keep DCN for pure data parallelism, whose
+    gradient all-reduce tolerates DCN latency.  Falls back to ``make_mesh``
+    when only one process is present (single host, tests)."""
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return make_mesh(axis_names=axis_names)
+    from jax.experimental import mesh_utils
+    per_host = jax.local_device_count()
+    if ici_shape is None:
+        # trailing axes factored like make_mesh: tp=2 when even, rest fsdp
+        tp = 2 if per_host % 2 == 0 and per_host >= 4 else 1
+        ici_shape = [1] * (len(axis_names) - 3) + [per_host // tp, tp]
+    dcn_shape = [n_proc] + [1] * (len(axis_names) - 1)
+    devices = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=[1] * (len(axis_names) - len(ici_shape)) + list(ici_shape),
+        dcn_mesh_shape=dcn_shape)
+    return Mesh(devices, tuple(axis_names))
+
+
 def gpt2_partition_specs(fsdp_axis: str = "fsdp", tp_axis: str = "tp") -> dict:
     """Canonical parameter shardings for models.gpt2 (stacked-blocks tree).
 
