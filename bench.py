@@ -228,7 +228,10 @@ def convergence(n_steps: int = 300):
     psgd = popt.kron_whiten(
         learning_rate=1e-3 / 4, momentum=0.9, whiten_grad=False,
         preconditioner_max_skew=2.0, preconditioner_init_scale=1.0,
-        preconditioner_update_probability=0.1,
+        # the reference's production recipe anneals the update probability
+        # from 1.0 down over training (misc/gpt2.py:440)
+        preconditioner_update_probability=optax.linear_schedule(
+            1.0, 0.1, max(n_steps // 2, 1)),
         preconditioner_dtype=pdt, momentum_dtype=pdt,
         norm_k=128 if on_tpu else 32, weight_decay=0.01,
         scanned_layers=mask)

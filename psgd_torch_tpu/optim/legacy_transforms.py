@@ -36,7 +36,8 @@ from ..precond import legacy as legacy_p
 from ..precond import splu as splu_p
 from ..precond import xmat as xmat_p
 from .hvp import rand_like_tree
-from .transforms import PSGDState, _ema_update, _global_norm_scale, _ravel
+from .transforms import (PSGDState, _ema_update, _global_norm_scale,
+                         _ravel, _sched)
 
 
 def _vector_family(name: str, init_state: Callable, update_fn: Callable,
@@ -51,12 +52,12 @@ def _vector_family(name: str, init_state: Callable, update_fn: Callable,
 
     def scale_by(
         preconditioner_type: str = "whitening",
-        lr_preconditioner: float = 0.1,
+        lr_preconditioner: float | Callable = 0.1,
         step_normalizer: str = "2nd",
         momentum: float = 0.0,
         momentum_dtype: Any = None,
         grad_clip_max_norm: float = float("inf"),
-        preconditioner_update_probability: float = 1.0,
+        preconditioner_update_probability: float | Callable = 1.0,
         damping: float = 2.0 ** -13,
         preconditioner_dtype: Any = None,
         seed: int = 0,
@@ -83,13 +84,14 @@ def _vector_family(name: str, init_state: Callable, update_fn: Callable,
             qdt = jax.tree_util.tree_leaves(st)[0].dtype
             key, k_gate, k_v, k_fit = jax.random.split(state.key, 4)
             pred = jnp.logical_or(
-                jax.random.uniform(k_gate) < preconditioner_update_probability,
+                jax.random.uniform(k_gate)
+                < _sched(preconditioner_update_probability, state.count),
                 state.count == 0)
 
             if preconditioner_type == "whitening":
                 def fit(s):
                     v, h = damped_pair_vg(g_vec.astype(qdt), k_v, damping)
-                    return update_fn(s, v, h, k_fit, lr=lr_preconditioner,
+                    return update_fn(s, v, h, k_fit, lr=_sched(lr_preconditioner, state.count),
                                      step_normalizer=step_normalizer)
 
                 st = jax.lax.cond(pred, fit, lambda s: s, st)
@@ -102,14 +104,14 @@ def _vector_family(name: str, init_state: Callable, update_fn: Callable,
                     _, ht = hvp_fn(params, vt)
                     return update_fn(s, _ravel(vt)[0].astype(qdt),
                                      _ravel(ht)[0].astype(qdt), k_fit,
-                                     lr=lr_preconditioner,
+                                     lr=_sched(lr_preconditioner, state.count),
                                      step_normalizer=step_normalizer)
 
                 st = jax.lax.cond(pred, fit, lambda s: s, st)
             elif vs is not None and hvs is not None:
                 st = update_fn(st, _ravel(vs)[0].astype(qdt),
                                _ravel(hvs)[0].astype(qdt), k_fit,
-                               lr=lr_preconditioner,
+                               lr=_sched(lr_preconditioner, state.count),
                                step_normalizer=step_normalizer)
             else:
                 raise ValueError(
@@ -172,12 +174,12 @@ scale_by_uvd = _vector_family(
 
 def scale_by_affine(
     preconditioner_type: str = "whitening",
-    lr_preconditioner: float = 0.1,
+    lr_preconditioner: float | Callable = 0.1,
     step_normalizer: str = "2nd",
     momentum: float = 0.0,
     momentum_dtype: Any = None,
     grad_clip_max_norm: float = float("inf"),
-    preconditioner_update_probability: float = 1.0,
+    preconditioner_update_probability: float | Callable = 1.0,
     preconditioner_max_size: float = float("inf"),
     preconditioner_max_skew: float = float("inf"),
     preconditioner_dtype: Any = None,
@@ -218,7 +220,8 @@ def scale_by_affine(
         plans = _plans(leaves)
         key, k_gate, k_v, k_fit = jax.random.split(state.key, 4)
         pred = jnp.logical_or(
-            jax.random.uniform(k_gate) < preconditioner_update_probability,
+            jax.random.uniform(k_gate)
+                < _sched(preconditioner_update_probability, state.count),
             state.count == 0)
 
         def fit_whiten(states):
@@ -228,7 +231,7 @@ def scale_by_affine(
                 gm = affine_p.to_matrix(plan, g).astype(qdt)
                 out.append(affine_p.update_affine_dropv(
                     st, gm, jax.random.fold_in(k_fit, i),
-                    lr=lr_preconditioner, step_normalizer=step_normalizer))
+                    lr=_sched(lr_preconditioner, state.count), step_normalizer=step_normalizer))
             return tuple(out)
 
         def fit_newton(states, v_leaves, h_leaves):
@@ -240,7 +243,7 @@ def scale_by_affine(
                 hm = affine_p.to_matrix(plan, h).astype(qdt)
                 out.append(affine_p.update_affine(
                     st, vm, hm, jax.random.fold_in(k_fit, i),
-                    lr=lr_preconditioner, step_normalizer=step_normalizer))
+                    lr=_sched(lr_preconditioner, state.count), step_normalizer=step_normalizer))
             return tuple(out)
 
         states_t = tuple(state.precond)

@@ -46,6 +46,17 @@ from .hvp import rand_like_tree
 # ---------------------------------------------------------------------------
 
 
+
+def _sched(value, count):
+    """Resolve a static-or-schedule hyperparameter at the current step.
+
+    The reference exposes these as mutable class attributes annealed by the
+    demos (lr_preconditioner 0.5 -> 0.01-0.1, update probability 1.0 -> 0.01;
+    SURVEY.md §5); the jit-able equivalent is an optax-style schedule
+    ``Callable[[count], value]``."""
+    return value(count) if callable(value) else value
+
+
 def _squeezed_shape(shape) -> Tuple[int, ...]:
     """Drop singleton dims (reference squeezes grads, psgd.py:597)."""
     return tuple(int(s) for s in shape if int(s) != 1)
@@ -189,13 +200,13 @@ def scale_by_kron_whiten(
     preconditioner_max_size: float = float("inf"),
     preconditioner_max_skew: float = 1.0,
     preconditioner_init_scale: Optional[float] = None,
-    lr_preconditioner: float = 0.1,
+    lr_preconditioner: float | Callable = 0.1,
     betaL: float = 0.9,
     damping: float = 1e-9,
     momentum: float = 0.0,
     momentum_dtype: Any = None,
     grad_clip_max_amps: Tuple[float, float] = (2.0, 10.0),
-    preconditioner_update_probability: float = 1.0,
+    preconditioner_update_probability: float | Callable = 1.0,
     update_preconditioner_first: bool = True,
     whiten_grad: bool = True,
     dq: str = "Q0.5EQ1.5",
@@ -265,7 +276,8 @@ def scale_by_kron_whiten(
             mu, mu_leaves = None, None
 
         key, k_gate, k_fit = jax.random.split(state.key, 3)
-        do_update = jax.random.uniform(k_gate) < preconditioner_update_probability
+        do_update = (jax.random.uniform(k_gate)
+                     < _sched(preconditioner_update_probability, state.count))
 
         fit_sources = sq if whiten_grad else [
             leaf_view(m, f, p) for m, f, p in zip(mu_leaves, flags, plans)]
@@ -277,7 +289,7 @@ def scale_by_kron_whiten(
                 qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
                 out.append(_fit_kron_leaf(
                     st, plan, jax.random.fold_in(k_fit, i), f, "whiten",
-                    g=src.astype(qdt), lr=lr_preconditioner, beta_l=betaL,
+                    g=src.astype(qdt), lr=_sched(lr_preconditioner, state.count), beta_l=betaL,
                     damping=damping, norm_k=norm_k))
             return tuple(out)
 
@@ -351,13 +363,13 @@ def scale_by_kron_newton(
     preconditioner_max_size: float = float("inf"),
     preconditioner_max_skew: float = 1.0,
     preconditioner_init_scale: Optional[float] = None,
-    lr_preconditioner: float = 0.1,
+    lr_preconditioner: float | Callable = 0.1,
     betaL: float = 0.9,
     damping: float = 1e-9,
     momentum: float = 0.0,
     momentum_dtype: Any = None,
     grad_clip_max_norm: float = float("inf"),
-    preconditioner_update_probability: float = 1.0,
+    preconditioner_update_probability: float | Callable = 1.0,
     dq: str = "Q0.5EQ1.5",
     preconditioner_dtype: Any = None,
     norm_k: int = 32,
@@ -417,7 +429,7 @@ def scale_by_kron_newton(
                 qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
                 out.append(_fit_kron_leaf(
                     st, plan, jax.random.fold_in(k_fit, i), f, "newton",
-                    v=v.astype(qdt), h=h.astype(qdt), lr=lr_preconditioner,
+                    v=v.astype(qdt), h=h.astype(qdt), lr=_sched(lr_preconditioner, state.count),
                     beta_l=betaL, damping=damping, norm_k=norm_k))
             return tuple(out)
 
@@ -426,7 +438,8 @@ def scale_by_kron_newton(
             if params is None:
                 raise ValueError("kron_newton with hvp_fn requires params")
             pred = jnp.logical_or(
-                jax.random.uniform(k_gate) < preconditioner_update_probability,
+                jax.random.uniform(k_gate)
+                < _sched(preconditioner_update_probability, state.count),
                 state.count == 0)
 
             def fit_branch(states):
@@ -485,13 +498,13 @@ def _ravel(tree):
 def scale_by_lra_whiten(
     rank_of_approximation: int = 10,
     preconditioner_init_scale: Optional[float] = None,
-    lr_preconditioner: float = 0.1,
+    lr_preconditioner: float | Callable = 0.1,
     betaL: float = 0.9,
     damping: float = 1e-9,
     momentum: float = 0.0,
     momentum_dtype: Any = None,
     grad_clip_max_amps: Tuple[float, float] = (2.0, 10.0),
-    preconditioner_update_probability: float = 1.0,
+    preconditioner_update_probability: float | Callable = 1.0,
     update_preconditioner_first: bool = True,
     whiten_grad: bool = True,
     preconditioner_dtype: Any = None,
@@ -530,12 +543,13 @@ def scale_by_lra_whiten(
             mu = None
 
         key, k_gate, k_fit = jax.random.split(state.key, 3)
-        do_update = jax.random.uniform(k_gate) < preconditioner_update_probability
+        do_update = (jax.random.uniform(k_gate)
+                     < _sched(preconditioner_update_probability, state.count))
         fit_src = (g_vec if whiten_grad else mu).astype(qdt)
 
         def fit(s):
             return lra_p.update_lra_whiten(s, fit_src, k_fit,
-                                           lr=lr_preconditioner, beta_l=betaL,
+                                           lr=_sched(lr_preconditioner, state.count), beta_l=betaL,
                                            damping=damping)
 
         def apply(s):
@@ -566,13 +580,13 @@ def lra_whiten(learning_rate: float | Callable = 1e-3,
 def scale_by_lra_newton(
     rank_of_approximation: int = 10,
     preconditioner_init_scale: Optional[float] = None,
-    lr_preconditioner: float = 0.1,
+    lr_preconditioner: float | Callable = 0.1,
     betaL: float = 0.9,
     damping: float = 1e-9,
     momentum: float = 0.0,
     momentum_dtype: Any = None,
     grad_clip_max_norm: float = float("inf"),
-    preconditioner_update_probability: float = 1.0,
+    preconditioner_update_probability: float | Callable = 1.0,
     preconditioner_dtype: Any = None,
     seed: int = 0,
 ) -> optax.GradientTransformationExtraArgs:
@@ -605,14 +619,15 @@ def scale_by_lra_newton(
                 mult = jnp.where(state.count == 0, scale, 1.0).astype(qdt)
                 s = s._replace(d=s.d * mult)
             return lra_p.update_lra_newton(s, v_vec.astype(qdt), h_vec.astype(qdt),
-                                           k_fit, lr=lr_preconditioner,
+                                           k_fit, lr=_sched(lr_preconditioner, state.count),
                                            beta_l=betaL, damping=damping)
 
         if hvp_fn is not None:
             if params is None:
                 raise ValueError("lra_newton with hvp_fn requires params")
             pred = jnp.logical_or(
-                jax.random.uniform(k_gate) < preconditioner_update_probability,
+                jax.random.uniform(k_gate)
+                < _sched(preconditioner_update_probability, state.count),
                 state.count == 0)
 
             def fit_branch(s):
@@ -654,13 +669,13 @@ def lra_newton(learning_rate: float | Callable = 0.01,
 
 def scale_by_dense_newton(
     preconditioner_init_scale: Optional[float] = None,
-    lr_preconditioner: float = 0.1,
+    lr_preconditioner: float | Callable = 0.1,
     betaL: float = 0.9,
     damping: float = 1e-9,
     momentum: float = 0.0,
     momentum_dtype: Any = None,
     grad_clip_max_norm: float = float("inf"),
-    preconditioner_update_probability: float = 1.0,
+    preconditioner_update_probability: float | Callable = 1.0,
     dq: str = "Q0.5EQ1.5",
     preconditioner_dtype: Any = None,
     norm_k: int = 32,
@@ -697,7 +712,7 @@ def scale_by_dense_newton(
                 mult = jnp.where(state.count == 0, scale, 1.0).astype(real_dtype_of(qdt))
                 s = s._replace(q=s.q * mult)
             return dense_p.update_dense(s, v_vec.astype(qdt), h_vec.astype(qdt),
-                                        k_fit, dq, lr=lr_preconditioner,
+                                        k_fit, dq, lr=_sched(lr_preconditioner, state.count),
                                         beta_l=betaL, damping=damping,
                                         norm_k=norm_k)
 
@@ -705,7 +720,8 @@ def scale_by_dense_newton(
             if params is None:
                 raise ValueError("dense_newton with hvp_fn requires params")
             pred = jnp.logical_or(
-                jax.random.uniform(k_gate) < preconditioner_update_probability,
+                jax.random.uniform(k_gate)
+                < _sched(preconditioner_update_probability, state.count),
                 state.count == 0)
 
             def fit_branch(s):

@@ -228,3 +228,26 @@ def test_weight_decay_modes():
     assert not np.allclose(outs["decoupled"], outs["classic"])
     with pytest.raises(ValueError):
         popt.kron_whiten(1e-2, weight_decay=0.1, weight_decay_mode="bogus")
+
+
+def test_hyperparameter_schedules():
+    """lr_preconditioner and preconditioner_update_probability accept
+    optax-style schedules — the jit-able form of the reference's mutable
+    class attrs annealed by the demos (misc/gpt2.py:440, misc/vit.py:362)."""
+    loss_fn, params = _quad_problem()
+    opt = popt.kron_whiten(
+        optax.linear_schedule(0.1, 0.0, 500), momentum=0.9,
+        preconditioner_init_scale=1.0,
+        lr_preconditioner=optax.linear_schedule(0.5, 0.05, 300),
+        preconditioner_update_probability=optax.linear_schedule(1.0, 0.1, 300))
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        grads = jax.grad(loss_fn)(params)
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state
+
+    for _ in range(500):
+        params, state = step(params, state)
+    assert float(loss_fn(params)) < 1e-4
