@@ -45,11 +45,16 @@ def main():
     else:
         # reference PSGD settings: momentum whitening, lr = adam_lr / 4,
         # max_skew 2 (misc/gpt2.py:409-413)
+        pdt = jnp.bfloat16 if on_tpu else None
         opt = popt.kron_whiten(
             learning_rate=1e-3 / 4, momentum=0.9, whiten_grad=False,
             preconditioner_max_skew=2.0, preconditioner_init_scale=1.0,
-            preconditioner_update_probability=1.0, weight_decay=0.01,
-            preconditioner_dtype=jnp.bfloat16 if on_tpu else None,
+            # production recipe: anneal the update probability 1.0 -> 0.1
+            # over the first half of training (misc/gpt2.py:440)
+            preconditioner_update_probability=optax.linear_schedule(
+                1.0, 0.1, max(args.steps // 2, 1)),
+            weight_decay=0.01,
+            preconditioner_dtype=pdt, momentum_dtype=pdt,
             norm_k=128 if on_tpu else 32,
             scanned_layers=gpt2.scanned_layers_mask(params))
     state = opt.init(params)
