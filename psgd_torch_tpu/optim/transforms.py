@@ -183,6 +183,69 @@ def _apply_kron_leaf(st, plan, g, scanned):
     return kron_p.precond_grad(st, plan, g.reshape(plan.shape))
 
 
+def _stack_shard_map(mesh, axis):
+    """shard_map wrapper for per-layer-stacked work (version-compatible)."""
+    import inspect
+    try:
+        from jax import shard_map as sm
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as sm
+    kw = {("check_vma" if "check_vma" in inspect.signature(sm).parameters
+           else "check_rep"): False}
+
+    def wrap(f, in_specs, out_specs):
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw)
+
+    return wrap
+
+
+def _stacked_specs(st: "kron_p.KronState", axis):
+    from jax.sharding import PartitionSpec as PS
+    return kron_p.KronState(
+        q=tuple(PS(axis, *([None] * (f.ndim - 1))) for f in st.q),
+        lips=tuple(PS(axis, *([None] * (l.ndim - 1))) for l in st.lips))
+
+
+def _fit_apply_kron_leaf_layer_sharded(
+        st, plan, key, mesh, axis, do_update, fit_src, apply_src,
+        out_dtype, clip_amps, fit_first=True, **fit_kw):
+    """Fit (gated on do_update) + apply + per-layer clip for one stacked
+    leaf, shard_mapped over the layer axis: each device runs the vmapped
+    update for exactly n_layer/k layers — compute scales 1/k by construction
+    instead of relying on GSPMD's partitioning choices.  Per-layer PRNG keys
+    are the same split as the unsharded path, sliced by shard position, so
+    results are bitwise-independent of k."""
+    from jax.sharding import PartitionSpec as PS
+    n_total = fit_src.shape[0]
+
+    def local(st_loc, fit_loc, apply_loc, do_update):
+        n_loc = fit_loc.shape[0]
+        idx = jax.lax.axis_index(tuple(axis) if isinstance(axis, (tuple, list))
+                                 else axis)
+        keys = jax.lax.dynamic_slice_in_dim(
+            jax.random.split(key, n_total), idx * n_loc, n_loc)
+
+        def fit(s):
+            fn = lambda ss, gg, kk: kron_p.update_kron_whiten(
+                ss, plan, gg, kk, **fit_kw)
+            return jax.vmap(fn)(s, fit_loc.reshape((n_loc,) + plan.shape), keys)
+
+        st_new = jax.lax.cond(do_update, fit, lambda s: s, st_loc)
+        st_used = st_new if fit_first else st_loc
+        pg = jax.vmap(lambda s, gg: kron_p.precond_grad(s, plan, gg))(
+            st_used, apply_loc.reshape((n_loc,) + plan.shape))
+        pg = jax.vmap(lambda x: _amp_clip(x, *clip_amps))(pg.astype(out_dtype))
+        return st_new, pg
+
+    st_specs = _stacked_specs(st, axis)
+    lead = lambda x: PS(axis, *([None] * (x.ndim - 1)))
+    fn = _stack_shard_map(mesh, axis)(
+        local,
+        in_specs=(st_specs, lead(fit_src), lead(apply_src), PS()),
+        out_specs=(st_specs, lead(apply_src)))
+    return fn(st, fit_src, apply_src, do_update)
+
+
 class PSGDState(NamedTuple):
     """Common optimizer state: step count, PRNG key, momentum, preconditioner."""
     count: jax.Array
@@ -214,6 +277,7 @@ def scale_by_kron_whiten(
     norm_k: int = 32,
     seed: int = 0,
     scanned_layers: Any = None,
+    stack_sharding: Optional[Tuple[Any, str]] = None,
 ) -> optax.GradientTransformation:
     """Kronecker-factored gradient/momentum whitening preconditioner.
 
@@ -223,6 +287,13 @@ def scale_by_kron_whiten(
     requires ``momentum > 0`` (psgd.py:561-564).  ``scanned_layers`` is an
     optional pytree of bools (matching params) marking layer-stacked leaves:
     those get one preconditioner per layer, vmapped over the stack.
+
+    ``stack_sharding=(mesh, axis)`` runs each stacked leaf's fit + apply
+    under an explicit shard_map over the layer axis (ZeRO-style): each
+    device computes exactly n_layer/k layers' Q work, instead of relying on
+    GSPMD partitioning choices.  Pair with
+    ``parallel.psgd_state_specs(..., stack_axis=axis)`` so the Q/L state
+    lives layer-sharded; n_layer must divide by the mesh axis size.
     """
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
@@ -281,25 +352,37 @@ def scale_by_kron_whiten(
 
         fit_sources = sq if whiten_grad else [
             leaf_view(m, f, p) for m, f, p in zip(mu_leaves, flags, plans)]
+        apply_sources = ([leaf_view(m, f, p)
+                          for m, f, p in zip(mu_leaves, flags, plans)]
+                         if momentum > 0 else sq)
+        lr_q = _sched(lr_preconditioner, state.count)
+        # leaves routed through the explicit layer-axis shard_map
+        layer_sharded = [f and stack_sharding is not None for f in flags]
 
         def fit_all(states):
             out = []
-            for i, (st, plan, f, src) in enumerate(
-                    zip(states, plans, flags, fit_sources)):
+            for i, (st, plan, f, ls, src) in enumerate(
+                    zip(states, plans, flags, layer_sharded, fit_sources)):
+                if ls:
+                    out.append(st)  # handled by the fused sharded path
+                    continue
                 qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
                 out.append(_fit_kron_leaf(
                     st, plan, jax.random.fold_in(k_fit, i), f, "whiten",
-                    g=src.astype(qdt), lr=_sched(lr_preconditioner, state.count), beta_l=betaL,
+                    g=src.astype(qdt), lr=lr_q, beta_l=betaL,
                     damping=damping, norm_k=norm_k))
             return tuple(out)
 
         def apply_all(states):
             # precondition the momentum if enabled, else the gradient
             # (psgd.py:628-631) — independent of what Q is fitted on.
-            srcs = ([leaf_view(m, f, p) for m, f, p in zip(mu_leaves, flags, plans)]
-                    if momentum > 0 else sq)
             out = []
-            for st, plan, f, src, g in zip(states, plans, flags, srcs, leaves):
+            for st, plan, f, ls, src, g in zip(states, plans, flags,
+                                               layer_sharded, apply_sources,
+                                               leaves):
+                if ls:
+                    out.append(None)  # handled by the fused sharded path
+                    continue
                 qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
                 pg = _apply_kron_leaf(st, plan, src.astype(qdt), f)
                 pg = pg.astype(g.dtype)
@@ -317,6 +400,25 @@ def scale_by_kron_whiten(
         else:  # unbiased: precondition with the pre-update Q
             pre = apply_all(states_t)
             states_t = jax.lax.cond(do_update, fit_all, lambda s: s, states_t)
+
+        if stack_sharding is not None and any(layer_sharded):
+            mesh_, axis_ = stack_sharding
+            states_t = list(states_t)
+            for i, (st, plan, ls, fsrc, asrc, g) in enumerate(
+                    zip(states_t, plans, layer_sharded, fit_sources,
+                        apply_sources, leaves)):
+                if not ls:
+                    continue
+                qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
+                st_new, pg = _fit_apply_kron_leaf_layer_sharded(
+                    st, plan, jax.random.fold_in(k_fit, i), mesh_, axis_,
+                    do_update, fsrc.astype(qdt), asrc.astype(qdt),
+                    g.dtype, grad_clip_max_amps,
+                    fit_first=update_preconditioner_first,
+                    lr=lr_q, beta_l=betaL, damping=damping, norm_k=norm_k)
+                states_t[i] = st_new
+                pre[i] = pg.reshape(g.shape)
+            states_t = tuple(states_t)
 
         new_state = PSGDState(count=state.count + 1, key=key, mu=mu,
                               precond=states_t)
