@@ -153,6 +153,24 @@ def main():
     log(f"Q-update + Pg-apply: {t_q*1e6:.0f} us/step "
         f"({100*t_q/t_adamw:.1f}% of an adamw step)")
 
+    # MFU of the Q-update + apply program (NS-iteration MFU/chip).
+    # XLA cost analysis counts a while-loop body once regardless of trip
+    # count, so lower the single-step update program directly.
+    try:
+        c1 = (jax.jit(lambda g, s: tx.update(g, s))
+              .lower(grads, tx.init(params)).compile())
+        ca = c1.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops_per_step = float(ca["flops"])
+        peak = 197e12 if "v5 lite" in str(dev) else 459e12  # bf16 peak
+        q_mfu = flops_per_step / max(t_q, 1e-12) / peak
+        log(f"Q-update MFU: {100*q_mfu:.1f}% "
+            f"({flops_per_step/1e9:.1f} GFLOP/step)")
+    except Exception as e:  # cost_analysis is best-effort across backends
+        q_mfu, flops_per_step = None, None
+        log(f"MFU estimate unavailable: {e}")
+
     ratio = t_psgd01 / t_adamw
     result = {
         "metric": "gpt2_124m_psgd_kron_step_time_ratio_vs_adamw",
@@ -168,6 +186,9 @@ def main():
             "psgd_p1.0_ms": round(t_psgd1 * 1e3, 2),
             "psgd_p1.0_ratio": round(t_psgd1 / t_adamw, 4),
             "q_update_apply_us": round(t_q * 1e6),
+            "q_update_mfu": None if q_mfu is None else round(q_mfu, 4),
+            "q_update_gflop_per_step": (
+                None if flops_per_step is None else round(flops_per_step / 1e9, 2)),
             "psgd_steps_per_sec": round(1.0 / t_psgd01, 3),
             "note": "p=0.1 is the reference's production operating point "
                     "(update prob annealed 1.0->0.01, misc/gpt2.py:440)",

@@ -356,8 +356,13 @@ def scale_by_kron_whiten(
                           for m, f, p in zip(mu_leaves, flags, plans)]
                          if momentum > 0 else sq)
         lr_q = _sched(lr_preconditioner, state.count)
-        # leaves routed through the explicit layer-axis shard_map
-        layer_sharded = [f and stack_sharding is not None for f in flags]
+        # leaves routed through the explicit layer-axis shard_map: only
+        # those with at least one dense factor — all-diagonal leaves (biases,
+        # layernorms) have elementwise-small Q work, and resharding their
+        # grads to layer shards costs more than it saves
+        layer_sharded = [
+            f and stack_sharding is not None and not all(p.is_diag)
+            for f, p in zip(flags, plans)]
 
         def fit_all(states):
             out = []
