@@ -28,6 +28,7 @@ Hyperparameter semantics and defaults follow the reference classes.
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -254,6 +255,27 @@ class PSGDState(NamedTuple):
     precond: Any
 
 
+def _advisories(init_scale, whiten_grad, momentum, dq, q_dtype):
+    """The reference classes' stdout advisories (psgd.py:557, 564, 568),
+    surfaced as Python warnings at transform construction."""
+    if init_scale is None:
+        warnings.warn(
+            "Preconditioner initial scale will be set on the fly from the "
+            "first step's statistics; recommend setting "
+            "preconditioner_init_scale manually.", stacklevel=3)
+    if not whiten_grad and momentum > 0:
+        factor = ((1 + momentum) / (1 - momentum)) ** 0.5
+        warnings.warn(
+            f"Momentum whitening: recommend dividing the gradient-whitening "
+            f"learning rate by {factor:.2f} for this setting.", stacklevel=3)
+    if dq in kron_p._FIT_P and q_dtype is not None and \
+            jnp.finfo(jnp.dtype(q_dtype)).eps > 1e-6:
+        warnings.warn(
+            "Fitting P directly (QUAD4P/PRO4P) in half precision is risky; "
+            "prefer float32 preconditioner_dtype for the *4P geometries.",
+            stacklevel=3)
+
+
 # ---------------------------------------------------------------------------
 # Kron whitening (flagship; reference class KronWhiten, psgd.py:516-654)
 # ---------------------------------------------------------------------------
@@ -299,6 +321,8 @@ def scale_by_kron_whiten(
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
     if not whiten_grad and momentum == 0.0:
         raise ValueError("Cannot whiten momentum with momentum == 0")
+    _advisories(preconditioner_init_scale, whiten_grad, momentum, dq,
+                preconditioner_dtype)
 
     def _plans(leaves, flags):
         return [kron_p.make_kron_plan(
@@ -493,6 +517,8 @@ def scale_by_kron_newton(
     """
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
+    _advisories(preconditioner_init_scale, True, 0.0, dq,
+                preconditioner_dtype)
 
     def _plans(leaves, flags):
         return [kron_p.make_kron_plan(
@@ -790,6 +816,8 @@ def scale_by_dense_newton(
 ) -> optax.GradientTransformationExtraArgs:
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
+    _advisories(preconditioner_init_scale, True, 0.0, dq,
+                preconditioner_dtype)
 
     def init_fn(params):
         vec, _ = _ravel(params)
