@@ -227,3 +227,44 @@ def test_stack_sharded_qupdate_flops_scale():
     f8 = per_device_flops(8, True)
     efficiency = f1 / (8 * f8)
     assert efficiency > 0.9, f"Q-update scaling efficiency {efficiency:.2%}"
+
+
+def test_stack_sharding_tuple_axis():
+    """The layer stack can shard over multiple mesh axes at once
+    (stack_axis=("fsdp", "tp") -> 8-way with n_layer=8)."""
+    mesh = make_mesh(8)  # (dp 1, fsdp 4, tp 2)
+    cfg = gpt2.tiny_config(n_layer=8, n_head=4, n_embd=64, block_size=32,
+                           vocab_size=256, compute_dtype=jnp.float32)
+    params = gpt2.init_gpt2(jax.random.key(0), cfg)
+    mask = gpt2.scanned_layers_mask(params)
+    tokens, targets = gpt2.synthetic_lm_batch(jax.random.key(1), 8, 32,
+                                              cfg.vocab_size)
+    p_specs = gpt2_partition_specs()
+    axes = ("fsdp", "tp")
+
+    def run(stack):
+        kw = dict(learning_rate=1e-3, preconditioner_init_scale=1.0,
+                  preconditioner_max_skew=2.0, scanned_layers=mask)
+        if stack:
+            kw["stack_sharding"] = (mesh, axes)
+        opt = popt.kron_whiten(**kw)
+        state = opt.init(params)
+        s_specs = psgd_state_specs(p_specs, state, scanned_layers=mask,
+                                   stack_axis=axes if stack else None)
+        state = jax.device_put(state, named_shardings(mesh, s_specs))
+        p = jax.device_put(params, named_shardings(mesh, p_specs))
+
+        @jax.jit
+        def step(p, state):
+            loss, grads = jax.value_and_grad(gpt2.loss_gpt2)(p, tokens,
+                                                             targets, cfg)
+            updates, state = opt.update(grads, state, p)
+            return optax.apply_updates(p, updates), state, loss
+
+        with mesh:
+            for _ in range(2):
+                p, state, loss = step(p, state)
+                jax.block_until_ready(p)
+        return float(loss)
+
+    np.testing.assert_allclose(run(True), run(False), rtol=1e-6)
