@@ -42,7 +42,7 @@ def _conv(x, wb, k, cin, cout):
 
 
 def apply_lenet5(params: list, images: jax.Array) -> jax.Array:
-    """images: (B, 28, 28, 1) -> logits (B, 10)."""
+    """images: (B, 32, 32, 1) (classic 32x32 LeNet input; pad\n    MNIST 28x28 with 2 pixels per side) -> logits (B, 10)."""
     x = images
     x = jax.nn.relu(_conv(x, params[0], 5, 1, 6))
     x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 2, 2, 1),

@@ -11,12 +11,16 @@ here takes and returns params:
         loss, params = opt.step(loss_fn, params, batch)
 
 ``loss_fn(params, *args)`` must be a pure scalar loss (the closure
-equivalent).  The step is jitted per loss_fn identity; the reference's
-"all hyperparameters mutable on the fly" contract (psgd.py docstrings) is
-kept: assigning ``opt.lr_params``/``opt.lr_preconditioner``/
-``opt.preconditioner_update_probability``/... takes effect on the next step
-(a changed preconditioner hyperparameter rebuilds the transform; the state
-pytree is compatible across rebuilds, so annealing is cheap).
+equivalent).  Pass a FIXED loss_fn and feed per-step data through ``*args``
+— the step is jitted per loss_fn identity, so a fresh lambda every step
+forces recompilation (the cache warns and resets if that happens).  The
+reference's "all hyperparameters mutable on the fly" contract (psgd.py
+docstrings) is kept: assigning any constructor hyperparameter
+(``opt.lr_preconditioner``, ``opt.momentum``, ``opt.grad_clip_max_amps``,
+...) takes effect on the next step by rebuilding the transform.  Annealing
+scalar hyperparameters is cheap (the state pytree is compatible across
+rebuilds); changes that alter the state structure (enabling momentum,
+changing rank or dtype) require constructing a fresh optimizer.
 
 Prefer the optax transforms (optim.transforms) for new code — these classes
 exist for drop-in familiarity with the reference.
@@ -38,7 +42,7 @@ from .hvp import make_hvp_fn
 class _ClosureOptimizer:
     """Shared machinery: transform (re)build, jit cache, step."""
 
-    _MUTABLE = ()  # hyperparams that rebuild the transform when changed
+    _MAX_JIT_CACHE = 8  # distinct loss_fn identities before reset + warning
 
     def __init__(self, params, lr_params: float, **kwargs):
         self.lr_params = lr_params
@@ -52,7 +56,9 @@ class _ClosureOptimizer:
         raise NotImplementedError
 
     def _hyper_key(self):
-        return tuple(self._kwargs[k] for k in self._MUTABLE)
+        # any hyperparameter change rebuilds the transform (pytrees like
+        # scanned_layers are keyed by repr — cheap and deterministic)
+        return tuple(sorted((k, repr(v)) for k, v in self._kwargs.items()))
 
     def __getattr__(self, name):
         kw = self.__dict__.get("_kwargs", {})
@@ -78,6 +84,13 @@ class _ClosureOptimizer:
 
     def _step_fn(self, loss_fn):
         self._refresh()
+        if len(self._jit_cache) >= self._MAX_JIT_CACHE:
+            import warnings
+            warnings.warn(
+                "Many distinct loss_fn identities passed to step(); each one "
+                "retraces and recompiles. Pass one fixed loss_fn and supply "
+                "batch data through step(loss_fn, params, *args).")
+            self._jit_cache.clear()
         key = (id(loss_fn), self._built_with)
         if key not in self._jit_cache:
             tx = self._tx
@@ -113,8 +126,6 @@ class _ClosureOptimizer:
 class KronWhiten(_ClosureOptimizer):
     """Reference-parity KronWhiten class (psgd.py:516-654)."""
 
-    _MUTABLE = ("lr_preconditioner", "betaL", "damping",
-                "preconditioner_update_probability")
 
     def __init__(self, params, preconditioner_max_size=float("inf"),
                  preconditioner_max_skew=1.0, preconditioner_init_scale=None,
@@ -144,8 +155,6 @@ class KronWhiten(_ClosureOptimizer):
 class KronNewton(_ClosureOptimizer):
     """Reference-parity KronNewton class (psgd.py:832-978)."""
 
-    _MUTABLE = ("lr_preconditioner", "betaL", "damping",
-                "preconditioner_update_probability", "grad_clip_max_norm")
 
     def __init__(self, params, preconditioner_max_size=float("inf"),
                  preconditioner_max_skew=1.0, preconditioner_init_scale=None,
@@ -179,8 +188,6 @@ class KronNewton(_ClosureOptimizer):
 class LRAWhiten(_ClosureOptimizer):
     """Reference-parity LRAWhiten class (psgd.py:1075-1190)."""
 
-    _MUTABLE = ("lr_preconditioner", "betaL", "damping",
-                "preconditioner_update_probability")
 
     def __init__(self, params, rank_of_approximation=10,
                  preconditioner_init_scale=None, lr_params=0.001,
@@ -207,8 +214,6 @@ class LRAWhiten(_ClosureOptimizer):
 class LRANewton(_ClosureOptimizer):
     """Reference-parity LRANewton class (psgd.py:1201-1330)."""
 
-    _MUTABLE = ("lr_preconditioner", "betaL", "damping",
-                "preconditioner_update_probability", "grad_clip_max_norm")
 
     def __init__(self, params, rank_of_approximation=10,
                  preconditioner_init_scale=None, lr_params=0.01,
@@ -239,8 +244,6 @@ class LRANewton(_ClosureOptimizer):
 class DenseNewton(_ClosureOptimizer):
     """Reference-parity DenseNewton class (psgd.py:1427-1563)."""
 
-    _MUTABLE = ("lr_preconditioner", "betaL", "damping",
-                "preconditioner_update_probability", "grad_clip_max_norm")
 
     def __init__(self, params, preconditioner_init_scale=None, lr_params=0.01,
                  lr_preconditioner=0.1, betaL=0.9, damping=1e-9, momentum=0.0,

@@ -145,7 +145,7 @@ scale_by_xmat = _vector_family(
 scale_by_splu = _vector_family(
     "splu",
     init_state=lambda n, dt, key, rank=10: splu_p.init_splu(
-        n, min(rank, n), 1.0, dt),
+        n, max(1, min(rank, n - 1)), 1.0, dt),
     # SPLU has no step-normalizer choice in the reference (:481-572)
     update_fn=lambda s, v, h, key, lr, step_normalizer:
         splu_p.update_splu(s, v, h, lr=lr),

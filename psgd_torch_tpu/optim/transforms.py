@@ -184,22 +184,6 @@ def _apply_kron_leaf(st, plan, g, scanned):
     return kron_p.precond_grad(st, plan, g.reshape(plan.shape))
 
 
-def _stack_shard_map(mesh, axis):
-    """shard_map wrapper for per-layer-stacked work (version-compatible)."""
-    import inspect
-    try:
-        from jax import shard_map as sm
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map as sm
-    kw = {("check_vma" if "check_vma" in inspect.signature(sm).parameters
-           else "check_rep"): False}
-
-    def wrap(f, in_specs, out_specs):
-        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw)
-
-    return wrap
-
-
 def _stacked_specs(st: "kron_p.KronState", axis):
     from jax.sharding import PartitionSpec as PS
     return kron_p.KronState(
@@ -238,12 +222,12 @@ def _fit_apply_kron_leaf_layer_sharded(
         pg = jax.vmap(lambda x: _amp_clip(x, *clip_amps))(pg.astype(out_dtype))
         return st_new, pg
 
+    from ..utils.compat import shard_map
     st_specs = _stacked_specs(st, axis)
     lead = lambda x: PS(axis, *([None] * (x.ndim - 1)))
-    fn = _stack_shard_map(mesh, axis)(
-        local,
-        in_specs=(st_specs, lead(fit_src), lead(apply_src), PS()),
-        out_specs=(st_specs, lead(apply_src)))
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(st_specs, lead(fit_src), lead(apply_src), PS()),
+                   out_specs=(st_specs, lead(apply_src)))
     return fn(st, fit_src, apply_src, do_update)
 
 

@@ -187,13 +187,7 @@ def drift_check(tree: Any, mesh: Mesh, axis: str) -> Any:
     Under correct SPMD this is exactly 0; a nonzero value means a replica's
     copy of nominally-replicated state has drifted (e.g. from mixing traced
     and host computations).  Cost: one psum per leaf."""
-    try:
-        from jax import shard_map as _shard_map
-    except ImportError:
-        from jax.experimental.shard_map import shard_map as _shard_map
-    import inspect
-    kw = {("check_vma" if "check_vma" in
-           inspect.signature(_shard_map).parameters else "check_rep"): False}
+    from ..utils.compat import shard_map
 
     def local(x):
         mean = jax.lax.pmean(x, axis)
@@ -201,7 +195,7 @@ def drift_check(tree: Any, mesh: Mesh, axis: str) -> Any:
 
     def one(x):
         spec = PS(*([None] * x.ndim))
-        fn = _shard_map(local, mesh=mesh, in_specs=spec, out_specs=PS(), **kw)
+        fn = shard_map(local, mesh=mesh, in_specs=spec, out_specs=PS())
         return fn(x)
 
     return jax.tree_util.tree_map(one, tree)

@@ -28,21 +28,8 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as PS
-try:
-    from jax import shard_map as _shard_map
-except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map as _shard_map
 
-import inspect as _inspect
-
-_CHECK_KW = ("check_vma" if "check_vma" in
-             _inspect.signature(_shard_map).parameters else "check_rep")
-
-
-def shard_map(f, **kw):
-    kw[_CHECK_KW] = kw.pop("check_rep", False)
-    return _shard_map(f, **kw)
-
+from ..utils.compat import shard_map
 from ..precond import kron as kron_p
 from ..optim.transforms import (
     PSGDState,

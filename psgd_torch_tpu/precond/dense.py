@@ -83,17 +83,21 @@ def _lmax(lips, ell, beta_l):
 
 def update_dense(state: DenseState, v: jax.Array, h: jax.Array, key: jax.Array,
                  dq: str, lr: float = 0.1, beta_l: float = 0.9,
-                 damping: float = 1e-9, norm_k: int = 32) -> DenseState:
+                 damping: float | None = 1e-9, norm_k: int = 32) -> DenseState:
     """One Newton-type dense update for geometry ``dq``.
 
-    Reference parity: update_precond_dense_* (psgd.py:1339-1424)."""
+    Reference parity: update_precond_dense_* (psgd.py:1339-1424).
+    ``damping=None`` skips the noise injection entirely (for callers that
+    already damped the pair, like update_dense_whiten); any float — including
+    0.0 — still adds the eps*|h| floor, matching the reference Newton
+    updates (psgd.py:723)."""
     dq = canonical_dq(dq)
     v = _as_col(v)
     h = _as_col(h)
     kd, ku = jax.random.split(key)
     q, lips = state.q, state.lips
     rdt = real_dtype_of(q.dtype)
-    hd = _damped_col(h, kd, damping)
+    hd = h if damping is None else _damped_col(h, kd, damping)
 
     if dq == DQ_EQ:
         a = q @ hd
@@ -157,4 +161,4 @@ def update_dense_whiten(state: DenseState, g: jax.Array, key: jax.Array,
     eps = jnp.finfo(real_dtype_of(g2.dtype)).eps
     h = g2 + (damping + eps * jnp.abs(g2)) * v
     return update_dense(state, v, h, ku, dq, lr=lr, beta_l=beta_l,
-                        damping=0.0, norm_k=norm_k)
+                        damping=None, norm_k=norm_k)

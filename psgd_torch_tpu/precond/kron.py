@@ -299,11 +299,6 @@ def _damped(g: jax.Array, key: jax.Array, damping: float) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _whiten_terms(plan: KronPlan, pg: jax.Array, i: int):
-    term1 = jnp.einsum(plan.subs_gs[i], pg, jnp.conj(pg))
-    return term1
-
-
 def update_kron_whiten(state: KronState, plan: KronPlan, g: jax.Array,
                        key: jax.Array, lr: float = 0.1, beta_l: float = 0.9,
                        damping: float = 1e-9, norm_k: int = 32) -> KronState:

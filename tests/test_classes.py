@@ -73,3 +73,36 @@ def test_lra_classes_run():
     for _ in range(300):
         loss2, params2 = opt2.step(loss_fn, params2)
     assert float(loss2) < 0.1 * l0
+
+
+def test_all_hyperparameters_mutable():
+    """Assigning ANY constructor hyperparameter takes effect on the next
+    step (reference contract; previously only a subset rebuilt the
+    transform)."""
+    def loss_fn(p):
+        return jnp.sum(p ** 2 * jnp.linspace(1.0, 5.0, 8))
+
+    opt = classes.KronWhiten(jnp.ones(8), preconditioner_init_scale=1.0,
+                             lr_params=0.1)
+    p = jnp.ones(8)
+    _, p1 = opt.step(loss_fn, p)
+    # clamp everything: the update must now be elementwise-bounded by 1e-4
+    opt.grad_clip_max_amps = (1e-5, 1e-5)
+    _, p2 = opt.step(loss_fn, p)
+    assert float(jnp.max(jnp.abs(p2 - p))) <= 0.1 * 1e-5 + 1e-12
+    assert float(jnp.max(jnp.abs(p1 - p))) > 1e-4
+
+
+def test_jit_cache_bounded():
+    """A fresh lambda per step triggers the recompile warning and cache
+    reset instead of unbounded growth."""
+    import warnings
+
+    opt = classes.KronWhiten(jnp.ones(4), preconditioner_init_scale=1.0)
+    p = jnp.ones(4)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        for i in range(10):
+            _, p = opt.step(lambda x, _i=i: jnp.sum(x ** 2), p)
+    assert len(opt._jit_cache) <= opt._MAX_JIT_CACHE
+    assert any("recompil" in str(x.message) for x in w)

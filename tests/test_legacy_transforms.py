@@ -83,3 +83,13 @@ def test_bad_preconditioner_type():
         popt.scale_by_xmat(preconditioner_type="bogus")
     with pytest.raises(ValueError):
         popt.scale_by_affine(preconditioner_type="bogus")
+
+
+def test_splu_tiny_model_rank_clamped():
+    """SPLU rank is clamped to n-1 for tiny parameter vectors."""
+    opt = popt.splu(0.1, rank=10)
+    w = jnp.zeros(6)
+    state = opt.init(w)  # must not raise
+    g = jnp.ones(6)
+    u, _ = jax.jit(opt.update)(g, state, w)
+    assert jnp.all(jnp.isfinite(u))
