@@ -37,7 +37,17 @@ def _row_norms(v):
     return jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
 
 
-def _subspace_bound(a, normalizer, k: int, tiny: float):
+def _dot(x, y, mxu_bf16: bool):
+    """MXU dot with f32 accumulation; bf16 operands when the caller's Q
+    lives in bf16 anyway (the reference's bf16 operating point runs the
+    whole update in bf16 — README.md:10 — so bf16 products lose nothing,
+    and f32 x f32 runs at half MXU rate)."""
+    if mxu_bf16:
+        x, y = x.astype(jnp.bfloat16), y.astype(jnp.bfloat16)
+    return jnp.dot(x, y, preferred_element_type=jnp.float32)
+
+
+def _subspace_bound(a, normalizer, k: int, tiny: float, mxu_bf16: bool):
     """Norm lower bound via 2 half-iterations of subspace iteration, with the
     initial space rotated toward the largest row (reference psgd.py:46-68)."""
     n = a.shape[0]
@@ -55,9 +65,9 @@ def _subspace_bound(a, normalizer, k: int, tiny: float):
     sgn = jnp.where(s >= 0, 1.0, -1.0)
     v = aj + sgn * v
     for _ in range(2):
-        v = jnp.dot(v, a, preferred_element_type=jnp.float32)
+        v = _dot(v, a, mxu_bf16)
         v = v / (_row_norms(v) + tiny)
-        v = jnp.dot(v, a, preferred_element_type=jnp.float32)
+        v = _dot(v, a, mxu_bf16)
     return normalizer * jnp.max(_row_norms(v))
 
 
@@ -69,7 +79,7 @@ def _trace(m):
 
 
 def _ns_kernel(seed_ref, *refs, beta_l: float, max_step: float, k: int,
-               has_step_mat: bool):
+               has_step_mat: bool, mxu_bf16: bool):
     if has_step_mat:
         (ell_ref, step_ref, q_ref, lips_ref, term2_ref, lr_ref,
          q_out_ref, lips_out_ref) = refs
@@ -92,22 +102,21 @@ def _ns_kernel(seed_ref, *refs, beta_l: float, max_step: float, k: int,
     row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     diag_max = jnp.max(jnp.where(row == col, t_ell, -jnp.inf))
-    ell = _subspace_bound(t_ell, diag_max + tiny, k, tiny) + term2
+    ell = _subspace_bound(t_ell, diag_max + tiny, k, tiny, mxu_bf16) + term2
 
     new_lips = jnp.maximum(beta_l * lips + (1.0 - beta_l) * ell, ell)
     coeff = lr / new_lips
 
     # q1 = q - coeff (step_mat @ q - term2 q)
     t_step = t_ell if not has_step_mat else step_ref[:].astype(jnp.float32)
-    q1 = q - coeff * (jnp.dot(t_step, q, preferred_element_type=jnp.float32)
-                      - term2 * q)
+    q1 = q - coeff * (_dot(t_step, q, mxu_bf16) - term2 * q)
 
     # procrustes_step2 (reference psgd.py:101-124)
     r = q1.T - q1
     r_max = jnp.max(jnp.abs(r))
-    r = r / ((_subspace_bound(r, r_max + tiny, k, tiny)) + tiny)
-    rq = jnp.dot(r, q1, preferred_element_type=jnp.float32)
-    rrq = jnp.dot(r, rq, preferred_element_type=jnp.float32)
+    r = r / ((_subspace_bound(r, r_max + tiny, k, tiny, mxu_bf16)) + tiny)
+    rq = _dot(r, q1, mxu_bf16)
+    rrq = _dot(r, rq, mxu_bf16)
     tr_rq = _trace(rq)
     tr_rrq = _trace(rrq)
     safe_den = jnp.where(tr_rrq < 0, tr_rrq, -1.0)
@@ -143,7 +152,9 @@ def fused_ns_update(term1: jax.Array, q: jax.Array, lips: jax.Array,
     has_step = step_mat is not None
     kernel = functools.partial(_ns_kernel, beta_l=float(beta_l),
                                max_step=float(max_step), k=k,
-                               has_step_mat=has_step)
+                               has_step_mat=has_step,
+                               mxu_bf16=(jnp.dtype(q.dtype) ==
+                                         jnp.dtype(jnp.bfloat16)))
     mat_spec = pl.BlockSpec((1, n, n), lambda i, s: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
