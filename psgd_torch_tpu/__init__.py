@@ -17,6 +17,7 @@ Layering mirrors SURVEY.md §1:
   models/    L4 demo/benchmark models
 """
 
+from . import models, ops, optim, parallel, precond, utils
 from .ops.linalg import (
     norm_lower_bound_spd,
     norm_lower_bound_skh,
