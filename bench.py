@@ -32,6 +32,46 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def pallas_ns_flops(params, scanned_layers, norm_k: int,
+                    max_skew: float) -> float:
+    """Analytical FLOPs of the fused Pallas NS-tail kernels for one Q update
+    (invisible to XLA cost_analysis): 6 n^3 + 16 k n^2 per dense factor."""
+    import jax
+    from psgd_torch_tpu.precond import kron as kron_p
+
+    leaves = jax.tree_util.tree_leaves(params)
+    flags = [bool(f) for f in jax.tree_util.tree_leaves(scanned_layers)]
+    total = 0.0
+    for leaf, f in zip(leaves, flags):
+        shape = tuple(s for s in (leaf.shape[1:] if f else leaf.shape)
+                      if s != 1)
+        plan = kron_p.make_kron_plan(shape, max_skew=max_skew)
+        reps = leaf.shape[0] if f else 1
+        for n, diag in zip(plan.shape, plan.is_diag):
+            if not diag and kron_p._fused_ns_enabled(n, jnp.bfloat16):
+                total += reps * (6.0 * n ** 3 + 16.0 * norm_k * n ** 2)
+    return total
+
+
+def bf16_peak_flops(dev) -> float | None:
+    """Per-chip bf16 peak FLOP/s for known TPU generations; None if the
+    device is unrecognized (MFU then reported as unavailable rather than
+    assuming a v5p peak)."""
+    s = str(dev).lower()
+    table = [
+        ("v5 lite", 197e12), ("v5e", 197e12),      # v5e
+        ("v5p", 459e12), ("v5", 459e12),            # v5p (after v5e checks)
+        ("v6 lite", 918e12), ("v6e", 918e12),       # trillium
+        ("v4", 275e12),
+        ("v3", 123e12),
+        ("v2", 45e12),
+    ]
+    for name, peak in table:
+        if name in s:
+            return peak
+    return None
+
+
 def make_n_step(opt, loss_fn, n=N_STEPS):
     @jax.jit
     def run(params, state, tokens, targets):
@@ -120,10 +160,15 @@ def main():
     log(f"psgd step (p=1.0): {t_psgd1*1e3:.2f} ms (loss {l_psgd1:.3f})")
 
     # --- isolated Q-update + Pg-apply (the primary kernel metric).
-    # Checksums cover EVERY update and state leaf (a partial checksum lets
-    # XLA dead-code-eliminate most of the work), and the cost is measured as
-    # the slope between two loop lengths (the remote-runtime dispatch has a
-    # fixed ~25 ms per-call latency that a single timing would absorb).
+    # The loop body mirrors a real optimizer step: update + apply to a
+    # carried parameter tree.  Every output is consumed (params and state are
+    # loop carries, so XLA cannot elide any work), and the update tensor
+    # fuses into the parameter write exactly as in a real train step — no
+    # artificial checksum traffic (the old cksum-per-iter design added
+    # ~0.5 ms/step of reduction reads) and no artificial materialization.
+    # One checksum outside the loop pins the final values; the slope between
+    # two loop lengths removes it along with the ~25 ms remote-dispatch
+    # latency.
     tx = popt.scale_by_kron_whiten(preconditioner_max_skew=2.0,
                                    preconditioner_init_scale=1.0,
                                    preconditioner_dtype=pdt, norm_k=nk,
@@ -136,26 +181,32 @@ def main():
 
     def q_loop(n):
         @jax.jit
-        def run(grads, state):
+        def run(params, grads, state):
             def body(_, carry):
-                s, acc = carry
+                p, s = carry
                 u, s = tx.update(grads, s)
-                return s, acc + cksum(u)
-            s, acc = jax.lax.fori_loop(
-                0, n, body, (state, jnp.zeros((), jnp.float32)))
-            return jnp.zeros(()), acc + cksum(s.precond)
+                p = jax.tree_util.tree_map(
+                    lambda a, b: a - 1e-3 * b.astype(a.dtype), p, u)
+                return p, s
+            p, s = jax.lax.fori_loop(0, n, body, (params, state))
+            return jnp.zeros(()), cksum(p) + cksum(s.precond)
         return run
 
     n1, n2 = (8, 64) if on_tpu else (2, 8)
-    t1, _ = time_program(q_loop(n1), (grads, tx.init(params)), n_inner=1)
-    t2, _ = time_program(q_loop(n2), (grads, tx.init(params)), n_inner=1)
+    t1, _ = time_program(q_loop(n1), (params, grads, tx.init(params)), n_inner=1)
+    t2, _ = time_program(q_loop(n2), (params, grads, tx.init(params)), n_inner=1)
     t_q = max((t2 - t1) / (n2 - n1), 0.0)
     log(f"Q-update + Pg-apply: {t_q*1e6:.0f} us/step "
         f"({100*t_q/t_adamw:.1f}% of an adamw step)")
 
     # MFU of the Q-update + apply program (NS-iteration MFU/chip).
     # XLA cost analysis counts a while-loop body once regardless of trip
-    # count, so lower the single-step update program directly.
+    # count, so lower the single-step update program directly.  Work done
+    # inside Pallas kernels is invisible to cost_analysis (reported as a
+    # ~0-flop custom call), so the fused NS-tail FLOPs are added back
+    # analytically: per dense factor of size n run through the kernel,
+    # step + two Procrustes products = 6 n^3, two subspace norm bounds
+    # (2 half-iterations x 2 dots of (k, n)x(n, n)) = 16 k n^2.
     try:
         c1 = (jax.jit(lambda g, s: tx.update(g, s))
               .lower(grads, tx.init(params)).compile())
@@ -163,10 +214,16 @@ def main():
         if isinstance(ca, list):
             ca = ca[0]
         flops_per_step = float(ca["flops"])
-        peak = 197e12 if "v5 lite" in str(dev) else 459e12  # bf16 peak
-        q_mfu = flops_per_step / max(t_q, 1e-12) / peak
-        log(f"Q-update MFU: {100*q_mfu:.1f}% "
-            f"({flops_per_step/1e9:.1f} GFLOP/step)")
+        flops_per_step += pallas_ns_flops(params, mask, nk, 2.0) if on_tpu else 0.0
+        peak = bf16_peak_flops(dev)
+        if peak is None:
+            q_mfu = None
+            log(f"Q-update: {flops_per_step/1e9:.1f} GFLOP/step "
+                f"(MFU unavailable: unrecognized device {dev})")
+        else:
+            q_mfu = flops_per_step / max(t_q, 1e-12) / peak
+            log(f"Q-update MFU: {100*q_mfu:.1f}% "
+                f"({flops_per_step/1e9:.1f} GFLOP/step)")
     except Exception as e:  # cost_analysis is best-effort across backends
         q_mfu, flops_per_step = None, None
         log(f"MFU estimate unavailable: {e}")
@@ -197,15 +254,18 @@ def main():
     print(json.dumps(result), flush=True)
 
 
-def convergence(n_steps: int = 300):
-    """`python bench.py --convergence`: train GPT-2 with AdamW and PSGD-Kron
-    at the reference's matched settings (misc/gpt2.py:400-413; PSGD lr =
-    Adam lr / sqrt((1+beta)/(1-beta)) = 1e-3/4) on the synthetic LM corpus
-    and compare end-of-run train loss — the 'matching loss curve' half of the
-    BASELINE.md target.  Fresh batch per step, loss averaged over the last
-    quarter of training."""
+def convergence(n_steps: int = 1000):
+    """`python bench.py --convergence [steps]`: train GPT-2 with AdamW and
+    PSGD-Kron at the reference's matched settings (misc/gpt2.py:400-413;
+    PSGD lr = Adam lr / sqrt((1+beta)/(1-beta)) = 1e-3/4) on the committed
+    REAL-TEXT corpus (data/corpus.txt.gz — license prose + open-source
+    Python sources; see tools/make_corpus.py.  The reference's number is
+    WikiText-103, unavailable here without egress) and compare train and
+    held-out losses — the 'matching loss curve' half of the BASELINE.md
+    target.  Fresh random-window batch per step; train loss averaged over
+    the last quarter; val loss on fixed held-out windows."""
     import psgd_torch_tpu.optim as popt
-    from psgd_torch_tpu.models import gpt2
+    from psgd_torch_tpu.models import gpt2, lm_data
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
@@ -217,6 +277,9 @@ def convergence(n_steps: int = 300):
                                vocab_size=1024, block_size=64,
                                compute_dtype=jnp.float32)
         batch, n_steps = 4, min(n_steps, 60)
+    train_toks, val_toks, vocab_used = lm_data.load_tokens(cfg.vocab_size)
+    log(f"corpus: {train_toks.size/1e6:.2f}M train tokens, "
+        f"{val_toks.size/1e3:.0f}k val, vocab used {vocab_used}")
     key = jax.random.key(0)
     params0 = gpt2.init_gpt2(key, cfg)
     mask = gpt2.scanned_layers_mask(params0)
@@ -226,25 +289,36 @@ def convergence(n_steps: int = 300):
         state = opt.init(params0)
 
         @jax.jit
-        def step(params, state, i):
-            tokens, targets = gpt2.synthetic_lm_batch(
-                jax.random.fold_in(jax.random.key(1), i), batch,
-                cfg.block_size, cfg.vocab_size)
+        def step(params, state, tokens, targets):
             loss, grads = jax.value_and_grad(gpt2.loss_gpt2)(
                 params, tokens, targets, cfg)
             updates, state = opt.update(grads, state, params)
             return optax.apply_updates(params, updates), state, loss
 
-        params, tail = params0, []
+        @jax.jit
+        def eval_loss(params, tokens, targets):
+            return gpt2.loss_gpt2(params, tokens, targets, cfg)
+
+        params, tail, curve = params0, [], []
         for i in range(n_steps):
-            params, state, loss = step(params, state, i)
+            tokens, targets = lm_data.corpus_batch(
+                jax.random.fold_in(jax.random.key(1), i), train_toks,
+                batch, cfg.block_size)
+            params, state, loss = step(params, state, tokens, targets)
+            if i % max(n_steps // 20, 1) == 0:
+                curve.append((i, round(float(loss), 4)))
             if i >= (3 * n_steps) // 4:
                 tail.append(float(loss))
-        return sum(tail) / len(tail)
+        vt, vy = lm_data.corpus_batch(jax.random.key(999), val_toks,
+                                      8, cfg.block_size)
+        vloss = float(eval_loss(params, vt, vy))
+        return sum(tail) / len(tail), vloss, curve
 
     adamw = optax.adamw(1e-3, b1=0.9, b2=0.95, weight_decay=0.01)
-    l_adamw = run(adamw)
-    log(f"adamw   loss (last quarter mean): {l_adamw:.4f}")
+    l_adamw, v_adamw, c_adamw = run(adamw)
+    log(f"adamw  train loss (last quarter mean): {l_adamw:.4f}  "
+        f"val: {v_adamw:.4f}")
+    log(f"adamw  curve: {c_adamw}")
 
     psgd = popt.kron_whiten(
         learning_rate=1e-3 / 4, momentum=0.9, whiten_grad=False,
@@ -256,8 +330,10 @@ def convergence(n_steps: int = 300):
         preconditioner_dtype=pdt, momentum_dtype=pdt,
         norm_k=128 if on_tpu else 32, weight_decay=0.01,
         scanned_layers=mask)
-    l_psgd = run(psgd)
-    log(f"psgd    loss (last quarter mean): {l_psgd:.4f}")
+    l_psgd, v_psgd, c_psgd = run(psgd)
+    log(f"psgd   train loss (last quarter mean): {l_psgd:.4f}  "
+        f"val: {v_psgd:.4f}")
+    log(f"psgd   curve: {c_psgd}")
 
     result = {
         "metric": "gpt2_convergence_psgd_vs_adamw_loss_ratio",
@@ -265,14 +341,22 @@ def convergence(n_steps: int = 300):
         "unit": "x (<= 1.0 means PSGD at or below AdamW loss)",
         "vs_baseline": round((l_psgd / l_adamw) / 1.0, 4),
         "detail": {"device": str(dev), "steps": n_steps, "batch": batch,
-                   "adamw_loss": round(l_adamw, 4),
-                   "psgd_loss": round(l_psgd, 4)},
+                   "data": "real text (data/corpus.txt.gz: license prose + "
+                           "open-source python sources; WikiText-103 "
+                           "unavailable without egress)",
+                   "adamw_train_loss": round(l_adamw, 4),
+                   "psgd_train_loss": round(l_psgd, 4),
+                   "adamw_val_loss": round(v_adamw, 4),
+                   "psgd_val_loss": round(v_psgd, 4),
+                   "val_ratio": round(v_psgd / v_adamw, 4),
+                   "adamw_curve": c_adamw, "psgd_curve": c_psgd},
     }
     print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
     if "--convergence" in sys.argv:
-        convergence()
+        extra = [a for a in sys.argv[1:] if a.isdigit()]
+        convergence(int(extra[0]) if extra else 1000)
     else:
         main()

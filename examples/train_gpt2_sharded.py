@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--ckpt_dir", default=None,
                     help="optional orbax checkpoint directory")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore the latest checkpoint from --ckpt_dir and "
+                         "continue training from it")
     args = ap.parse_args()
 
     mesh = make_mesh()
@@ -74,6 +77,24 @@ def main():
     state = jax.device_put(state, named_shardings(mesh, s_specs))
     data_shard = NamedSharding(mesh, PS("dp", None))
 
+    start_step = 0
+    if args.resume:
+        from psgd_torch_tpu.utils import checkpoint as ckpt
+        step = ckpt.latest_step(args.ckpt_dir)
+        if step is None:
+            print(f"no checkpoint under {args.ckpt_dir}; starting fresh")
+        else:
+            template = {"step": 0, "params": params, "opt_state": state,
+                        "extra": {}}
+            restored = ckpt.restore_checkpoint(args.ckpt_dir, template, step)
+            # restore into the live shardings (fresh-process recipe)
+            params = jax.device_put(restored["params"],
+                                    named_shardings(mesh, p_specs))
+            state = jax.device_put(restored["opt_state"],
+                                   named_shardings(mesh, s_specs))
+            start_step = int(restored["step"])
+            print(f"resumed from step {start_step}")
+
     @jax.jit
     def train_step(params, state, tokens, targets):
         loss, grads = jax.value_and_grad(gpt2.loss_gpt2)(params, tokens,
@@ -81,21 +102,22 @@ def main():
         updates, state = opt.update(grads, state, params)
         return optax.apply_updates(params, updates), state, loss
 
+    end_step = start_step + args.steps
     with mesh:
-        for i in range(args.steps):
+        for i in range(start_step, end_step):
             tokens, targets = gpt2.synthetic_lm_batch(
                 jax.random.fold_in(key, 100 + i), args.batch, cfg.block_size,
                 cfg.vocab_size)
             tokens = jax.device_put(tokens, data_shard)
             targets = jax.device_put(targets, data_shard)
             params, state, loss = train_step(params, state, tokens, targets)
-            if i % 10 == 0 or i == args.steps - 1:
+            if i % 10 == 0 or i == end_step - 1:
                 print(f"step {i:4d}  loss {float(loss):.4f}")
 
     if args.ckpt_dir:
         from psgd_torch_tpu.utils import checkpoint as ckpt
-        ckpt.save_checkpoint(args.ckpt_dir, args.steps, params, state)
-        print(f"checkpoint saved to {args.ckpt_dir}/step_{args.steps}")
+        ckpt.save_checkpoint(args.ckpt_dir, end_step, params, state)
+        print(f"checkpoint saved to {args.ckpt_dir}/step_{end_step}")
 
 
 if __name__ == "__main__":

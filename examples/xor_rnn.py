@@ -63,6 +63,7 @@ def main():
         updates, state = opt.update(grads, state, params, **kw)
         return optax.apply_updates(params, updates), state, loss
 
+    lv = float("nan")
     for i in range(args.max_iters):
         xs, target = rnn.xor_batch(jax.random.fold_in(key, 10 + i),
                                    args.batch, args.seq_len)

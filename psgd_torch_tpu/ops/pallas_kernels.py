@@ -78,19 +78,20 @@ def _trace(m):
     return jnp.sum(jnp.where(row == col, m, 0.0))
 
 
-def _ns_kernel(seed_ref, *refs, beta_l: float, max_step: float, k: int,
+def _ns_kernel(seed_ref, *refs, max_step: float, k: int,
                has_step_mat: bool, mxu_bf16: bool):
     if has_step_mat:
-        (ell_ref, step_ref, q_ref, lips_ref, term2_ref, lr_ref,
+        (ell_ref, step_ref, q_ref, lips_ref, term2_ref, lr_ref, bl_ref,
          q_out_ref, lips_out_ref) = refs
     else:
-        (ell_ref, q_ref, lips_ref, term2_ref, lr_ref,
+        (ell_ref, q_ref, lips_ref, term2_ref, lr_ref, bl_ref,
          q_out_ref, lips_out_ref) = refs
         step_ref = ell_ref
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[i])
     tiny = 1e-30
     lr = lr_ref[0]
+    beta_l = bl_ref[0]
 
     t_ell = ell_ref[:].astype(jnp.float32)
     q = q_ref[:].astype(jnp.float32)
@@ -145,12 +146,12 @@ def fused_ns_update(term1: jax.Array, q: jax.Array, lips: jax.Array,
       seed:  (B,) int32 PRNG seeds.
       step_mat: optional (B, n, n) step matrix when it differs from term1
              (Newton: term1 - term2_mat).
-      lr, beta_l: python floats.
+      lr, beta_l: python floats or traced scalars (schedule-compatible).
     Returns (new_q (B, n, n), new_lips (B,)).
     """
     b, n, _ = term1.shape
     has_step = step_mat is not None
-    kernel = functools.partial(_ns_kernel, beta_l=float(beta_l),
+    kernel = functools.partial(_ns_kernel,
                                max_step=float(max_step), k=k,
                                has_step_mat=has_step,
                                mxu_bf16=(jnp.dtype(q.dtype) ==
@@ -159,7 +160,7 @@ def fused_ns_update(term1: jax.Array, q: jax.Array, lips: jax.Array,
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     in_specs = [mat_spec] + ([mat_spec] if has_step else []) + \
-        [mat_spec, smem, smem, smem]
+        [mat_spec, smem, smem, smem, smem]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(b,), in_specs=in_specs,
         out_specs=[mat_spec, smem])
@@ -171,7 +172,8 @@ def fused_ns_update(term1: jax.Array, q: jax.Array, lips: jax.Array,
 
     operands = [term1] + ([step_mat] if has_step else []) + \
         [q, lips.astype(jnp.float32), term2.astype(jnp.float32),
-         jnp.asarray(lr, jnp.float32).reshape(1)]
+         jnp.asarray(lr, jnp.float32).reshape(1),
+         jnp.asarray(beta_l, jnp.float32).reshape(1)]
     new_q, new_l = pl.pallas_call(
         kernel3d,
         grid_spec=grid_spec,
@@ -190,3 +192,70 @@ def ns_update_supported(n: int, dtype) -> bool:
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
         return False
     return n % 128 == 0 and 128 <= n <= 2048
+
+
+# ---------------------------------------------------------------------------
+# In-kernel noise generation (the whitening damping probe).
+#
+# The whiten updates synthesize noise the size of every gradient each fit
+# step (reference psgd.py:334-336).  The default threefry PRNG costs ~2.5 ms
+# per GPT-2 124M step on TPU; the TPU hardware PRNG (pltpu.prng_*) makes it
+# nearly free.  Noise is seeded PER BATCH ELEMENT (per layer of a stacked
+# leaf), so a layer's stream depends only on its own seed — stack-sharded
+# and replicated runs stay bitwise identical (each shard generates its local
+# layers' noise from the same per-layer seeds).
+#
+# Distribution: uniform(-sqrt(3), sqrt(3)) — zero mean, unit variance.  The
+# whitening math only uses E[v v^H] = I (the analytically integrated term2
+# does not depend on v's higher moments; the probe merely dithers g by
+# ~damping), so any white unit-variance noise is sound; uniform needs no
+# erfinv.  Same argument as the in-kernel norm-bound subspace init above.
+# ---------------------------------------------------------------------------
+
+_SQRT3 = 3.0 ** 0.5
+
+
+def _uniform_from_bits(bits):
+    """Map random int32 bits to uniform(-sqrt3, sqrt3) float32 (mantissa
+    trick: [1, 2) - 1.5 gives uniform(-.5, .5))."""
+    u = pltpu.bitcast((bits & 0x7FFFFF) | 0x3F800000, jnp.float32)
+    return (u - 1.5) * (2.0 * _SQRT3)
+
+
+def _noise_kernel(seed_ref, o_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[i], j)
+    bits = pltpu.prng_random_bits(o_ref.shape[1:])
+    o_ref[0] = _uniform_from_bits(bits).astype(o_ref.dtype)
+
+
+def unit_noise(seeds: jax.Array, r: int, c: int, dtype) -> jax.Array:
+    """(B, r, c) zero-mean unit-variance noise; row i's stream is a pure
+    function of seeds[i].  TPU hardware PRNG, blocked over rows."""
+    b = seeds.shape[0]
+    # block rows: multiple of 8, <= ~8 MB fp32 per block (or the whole dim)
+    rb = max(8, ((1 << 21) // c) // 8 * 8)
+    rb = r if r <= rb else rb
+    grid = (b, -(-r // rb))
+    out = pl.pallas_call(
+        _noise_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[],
+            out_specs=pl.BlockSpec((1, rb, c), lambda i, j, s: (i, j, 0),
+                                   memory_space=pltpu.VMEM)),
+        out_shape=jax.ShapeDtypeStruct((b, r, c), dtype),
+    )(seeds.astype(jnp.int32))
+    return out
+
+
+def unit_noise_supported(shape, dtype) -> bool:
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        return False
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        return False
+    if len(shape) == 0:
+        return False
+    c = shape[-1]
+    return c % 128 == 0

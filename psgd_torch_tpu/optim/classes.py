@@ -17,10 +17,18 @@ forces recompilation (the cache warns and resets if that happens).  The
 reference's "all hyperparameters mutable on the fly" contract (psgd.py
 docstrings) is kept: assigning any constructor hyperparameter
 (``opt.lr_preconditioner``, ``opt.momentum``, ``opt.grad_clip_max_amps``,
-...) takes effect on the next step by rebuilding the transform.  Annealing
-scalar hyperparameters is cheap (the state pytree is compatible across
-rebuilds); changes that alter the state structure (enabling momentum,
-changing rank or dtype) require constructing a fresh optimizer.
+...) takes effect on the next step by rebuilding the transform.
+
+**Do not anneal per step via attribute assignment**: every changed value
+rebuilds the transform and retraces + recompiles the whole step (~1000x the
+cost of a fixed step).  For the reference's production recipe (annealing
+``lr_preconditioner`` / ``preconditioner_update_probability`` every step,
+misc/gpt2.py:440) pass an optax-style *schedule* ``Callable[[step], value]``
+as the hyperparameter instead — schedules are resolved inside the jitted
+step at zero retrace cost.  Occasional changes (e.g. once per epoch) are
+fine; the class warns if it detects frequent rebuilds.  Changes that alter
+the state structure (enabling momentum, changing rank or dtype) require
+constructing a fresh optimizer.
 
 Prefer the optax transforms (optim.transforms) for new code — these classes
 exist for drop-in familiarity with the reference.
@@ -73,11 +81,25 @@ class _ClosureOptimizer:
             return
         super().__setattr__(name, value)
 
+    _REBUILD_WARN_AT = 5  # rebuilds before warning about retrace cost
+
     def _refresh(self):
         if self._hyper_key() != self._built_with:
             self._tx = self._build(**self._kwargs)
             self._built_with = self._hyper_key()
             self._jit_cache.clear()
+            n = self.__dict__.get("_rebuild_count", 0) + 1
+            self.__dict__["_rebuild_count"] = n
+            if n == self._REBUILD_WARN_AT:
+                import warnings
+                warnings.warn(
+                    "Hyperparameter reassignment has rebuilt (and will "
+                    "recompile) the optimizer step "
+                    f"{n} times. For per-step annealing, pass an optax-style "
+                    "schedule (Callable[[step], value]) as lr_preconditioner "
+                    "/ preconditioner_update_probability instead of "
+                    "reassigning attributes — schedules run inside the "
+                    "jitted step at zero retrace cost.")
 
     def _needs_hvp(self) -> bool:
         return False

@@ -23,10 +23,12 @@ from ..ops.linalg import real_dtype_of
 
 
 def rand_like_tree(key: jax.Array, tree: Any) -> Any:
-    """A pytree of standard normal vectors matching ``tree``."""
+    """A pytree of white unit-variance probe vectors matching ``tree``
+    (hardware-PRNG fast path on TPU — see ops.fastrand)."""
+    from ..ops.fastrand import unit_noise
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     keys = jax.random.split(key, len(leaves))
-    vs = [jax.random.normal(k, leaf.shape, leaf.dtype)
+    vs = [unit_noise(k, leaf.shape, leaf.dtype)
           for k, leaf in zip(keys, leaves)]
     return jax.tree_util.tree_unflatten(treedef, vs)
 

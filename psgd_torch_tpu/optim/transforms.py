@@ -76,22 +76,25 @@ def _ema_update(mu, g, count, momentum):
     return jax.tree_util.tree_map(upd, mu, g)
 
 
-def _amp_clip(g: jax.Array, max_avg_amp: float, max_element_amp: float) -> jax.Array:
+def _amp_clip(g: jax.Array, max_avg_amp, max_element_amp) -> jax.Array:
     """Per-tensor RMS + elementwise amplitude clipping (psgd.py:642-651).
-    The RMS is accumulated in float32 (bf16 would over/underflow)."""
+    The RMS is accumulated in float32 (bf16 would over/underflow); the amps
+    may be traced scalars (schedule-resolved)."""
+    rdt = real_dtype_of(g.dtype)
     avg_amp = jnp.sqrt(jnp.mean(jnp.real(g * jnp.conj(g)).astype(jnp.float32)))
-    g = g * jnp.minimum(1.0, max_avg_amp / jnp.maximum(avg_amp, 1e-30)).astype(
-        real_dtype_of(g.dtype))
+    g = g * jnp.minimum(1.0, max_avg_amp / jnp.maximum(avg_amp, 1e-30)).astype(rdt)
+    max_el = jnp.asarray(max_element_amp, rdt)
     if jnp.issubdtype(g.dtype, jnp.complexfloating):
-        g = g / jnp.maximum(jnp.abs(g) / max_element_amp, 1.0)
+        g = g / jnp.maximum(jnp.abs(g) / max_el, 1.0)
     else:
-        g = jnp.clip(g, -max_element_amp, max_element_amp)
+        g = jnp.clip(g, -max_el, max_el)
     return g
 
 
-def _global_norm_scale(tree, max_norm: float):
-    """Trust-region scale min(1, max_norm / ||tree||) (psgd.py:967-971)."""
-    if math.isinf(max_norm):
+def _global_norm_scale(tree, max_norm):
+    """Trust-region scale min(1, max_norm / ||tree||) (psgd.py:967-971).
+    ``max_norm`` may be a traced scalar (schedule-resolved)."""
+    if isinstance(max_norm, (int, float)) and math.isinf(max_norm):
         return 1.0
     sq = sum(jnp.sum(jnp.real(x * jnp.conj(x))) for x in jax.tree_util.tree_leaves(tree))
     norm = jnp.sqrt(sq)
@@ -159,21 +162,24 @@ def _init_kron_leaf(plan, scale0, dtype, scanned, n_stack):
 
 
 def _fit_kron_leaf(st, plan, key, scanned, mode, g=None, v=None, h=None, **kw):
-    """One whiten/newton Q update for a leaf, vmapped over the layer stack."""
+    """One whiten/newton Q update for a leaf; layer-stacked leaves go through
+    the batched stacked update (one fused-kernel launch per dense factor)."""
     if mode == "whiten":
-        fn = lambda s, gg, kk: kron_p.update_kron_whiten(s, plan, gg, kk, **kw)
         if scanned:
             n = g.shape[0]
             gs = g.reshape((n,) + plan.shape)
-            return jax.vmap(fn)(st, gs, jax.random.split(key, n))
-        return fn(st, g.reshape(plan.shape), key)
-    fn = lambda s, vv, hh, kk: kron_p.update_kron_newton(s, plan, vv, hh, kk, **kw)
+            return kron_p.update_kron_whiten_stacked(
+                st, plan, gs, jax.random.split(key, n), **kw)
+        return kron_p.update_kron_whiten(st, plan, g.reshape(plan.shape),
+                                         key, **kw)
     if scanned:
         n = v.shape[0]
         vs = v.reshape((n,) + plan.shape)
         hs = h.reshape((n,) + plan.shape)
-        return jax.vmap(fn)(st, vs, hs, jax.random.split(key, n))
-    return fn(st, v.reshape(plan.shape), h.reshape(plan.shape), key)
+        return kron_p.update_kron_newton_stacked(
+            st, plan, vs, hs, jax.random.split(key, n), **kw)
+    return kron_p.update_kron_newton(st, plan, v.reshape(plan.shape),
+                                     h.reshape(plan.shape), key, **kw)
 
 
 def _apply_kron_leaf(st, plan, g, scanned):
@@ -211,9 +217,9 @@ def _fit_apply_kron_leaf_layer_sharded(
             jax.random.split(key, n_total), idx * n_loc, n_loc)
 
         def fit(s):
-            fn = lambda ss, gg, kk: kron_p.update_kron_whiten(
-                ss, plan, gg, kk, **fit_kw)
-            return jax.vmap(fn)(s, fit_loc.reshape((n_loc,) + plan.shape), keys)
+            return kron_p.update_kron_whiten_stacked(
+                s, plan, fit_loc.reshape((n_loc,) + plan.shape), keys,
+                **fit_kw)
 
         st_new = jax.lax.cond(do_update, fit, lambda s: s, st_loc)
         st_used = st_new if fit_first else st_loc
@@ -270,11 +276,11 @@ def scale_by_kron_whiten(
     preconditioner_max_skew: float = 1.0,
     preconditioner_init_scale: Optional[float] = None,
     lr_preconditioner: float | Callable = 0.1,
-    betaL: float = 0.9,
-    damping: float = 1e-9,
+    betaL: float | Callable = 0.9,
+    damping: float | Callable = 1e-9,
     momentum: float = 0.0,
     momentum_dtype: Any = None,
-    grad_clip_max_amps: Tuple[float, float] = (2.0, 10.0),
+    grad_clip_max_amps: Tuple[float | Callable, float | Callable] = (2.0, 10.0),
     preconditioner_update_probability: float | Callable = 1.0,
     update_preconditioner_first: bool = True,
     whiten_grad: bool = True,
@@ -344,7 +350,8 @@ def scale_by_kron_whiten(
 
         kron_states = list(state.precond)
         if preconditioner_init_scale is None:
-            scale = _whiten_scale_from_grads(leaves, flags, damping)
+            scale = _whiten_scale_from_grads(
+                leaves, flags, _sched(damping, state.count))
             kron_states = _rescale_kron_if(state.count == 0, kron_states, plans, scale)
 
         # momentum EMA (bias-warmed)
@@ -363,7 +370,12 @@ def scale_by_kron_whiten(
         apply_sources = ([leaf_view(m, f, p)
                           for m, f, p in zip(mu_leaves, flags, plans)]
                          if momentum > 0 else sq)
+        # schedule-resolved hyperparameters (the reference's "everything
+        # mutable on the fly" contract, SURVEY.md §5 — here as schedules)
         lr_q = _sched(lr_preconditioner, state.count)
+        beta_l_t = _sched(betaL, state.count)
+        damping_t = _sched(damping, state.count)
+        clip_amps = tuple(_sched(a, state.count) for a in grad_clip_max_amps)
         # leaves routed through the explicit layer-axis shard_map: only
         # those with at least one dense factor — all-diagonal leaves (biases,
         # layernorms) have elementwise-small Q work, and resharding their
@@ -382,8 +394,8 @@ def scale_by_kron_whiten(
                 qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
                 out.append(_fit_kron_leaf(
                     st, plan, jax.random.fold_in(k_fit, i), f, "whiten",
-                    g=src.astype(qdt), lr=lr_q, beta_l=betaL,
-                    damping=damping, norm_k=norm_k))
+                    g=src.astype(qdt), lr=lr_q, beta_l=beta_l_t,
+                    damping=damping_t, norm_k=norm_k))
             return tuple(out)
 
         def apply_all(states):
@@ -400,9 +412,9 @@ def scale_by_kron_whiten(
                 pg = _apply_kron_leaf(st, plan, src.astype(qdt), f)
                 pg = pg.astype(g.dtype)
                 if f:  # per-layer clipping, like per-tensor in the reference
-                    pg = jax.vmap(lambda x: _amp_clip(x, *grad_clip_max_amps))(pg)
+                    pg = jax.vmap(lambda x: _amp_clip(x, *clip_amps))(pg)
                 else:
-                    pg = _amp_clip(pg, *grad_clip_max_amps)
+                    pg = _amp_clip(pg, *clip_amps)
                 out.append(pg.reshape(g.shape))
             return out
 
@@ -426,9 +438,10 @@ def scale_by_kron_whiten(
                 st_new, pg = _fit_apply_kron_leaf_layer_sharded(
                     st, plan, jax.random.fold_in(k_fit, i), mesh_, axis_,
                     do_update, fsrc.astype(qdt), asrc.astype(qdt),
-                    g.dtype, grad_clip_max_amps,
+                    g.dtype, clip_amps,
                     fit_first=update_preconditioner_first,
-                    lr=lr_q, beta_l=betaL, damping=damping, norm_k=norm_k)
+                    lr=lr_q, beta_l=beta_l_t, damping=damping_t,
+                    norm_k=norm_k)
                 states_t[i] = st_new
                 pre[i] = pg.reshape(g.shape)
             states_t = tuple(states_t)
@@ -479,11 +492,11 @@ def scale_by_kron_newton(
     preconditioner_max_skew: float = 1.0,
     preconditioner_init_scale: Optional[float] = None,
     lr_preconditioner: float | Callable = 0.1,
-    betaL: float = 0.9,
-    damping: float = 1e-9,
+    betaL: float | Callable = 0.9,
+    damping: float | Callable = 1e-9,
     momentum: float = 0.0,
     momentum_dtype: Any = None,
-    grad_clip_max_norm: float = float("inf"),
+    grad_clip_max_norm: float | Callable = float("inf"),
     preconditioner_update_probability: float | Callable = 1.0,
     dq: str = "Q0.5EQ1.5",
     preconditioner_dtype: Any = None,
@@ -546,8 +559,10 @@ def scale_by_kron_newton(
                 qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
                 out.append(_fit_kron_leaf(
                     st, plan, jax.random.fold_in(k_fit, i), f, "newton",
-                    v=v.astype(qdt), h=h.astype(qdt), lr=_sched(lr_preconditioner, state.count),
-                    beta_l=betaL, damping=damping, norm_k=norm_k))
+                    v=v.astype(qdt), h=h.astype(qdt),
+                    lr=_sched(lr_preconditioner, state.count),
+                    beta_l=_sched(betaL, state.count),
+                    damping=_sched(damping, state.count), norm_k=norm_k))
             return tuple(out)
 
         states_t = tuple(state.precond)
@@ -584,7 +599,8 @@ def scale_by_kron_newton(
             view = src.reshape(((src.shape[0],) if f else ()) + plan.shape)
             pg = _apply_kron_leaf(st, plan, view.astype(qdt), f)
             pre.append(pg.astype(g.dtype).reshape(g.shape))
-        scale = _global_norm_scale(pre, grad_clip_max_norm)
+        scale = _global_norm_scale(pre, _sched(grad_clip_max_norm,
+                                               state.count))
         pre = [p * scale for p in pre]
 
         new_state = PSGDState(count=state.count + 1, key=key, mu=mu,
@@ -616,11 +632,11 @@ def scale_by_lra_whiten(
     rank_of_approximation: int = 10,
     preconditioner_init_scale: Optional[float] = None,
     lr_preconditioner: float | Callable = 0.1,
-    betaL: float = 0.9,
-    damping: float = 1e-9,
+    betaL: float | Callable = 0.9,
+    damping: float | Callable = 1e-9,
     momentum: float = 0.0,
     momentum_dtype: Any = None,
-    grad_clip_max_amps: Tuple[float, float] = (2.0, 10.0),
+    grad_clip_max_amps: Tuple[float | Callable, float | Callable] = (2.0, 10.0),
     preconditioner_update_probability: float | Callable = 1.0,
     update_preconditioner_first: bool = True,
     whiten_grad: bool = True,
@@ -665,14 +681,17 @@ def scale_by_lra_whiten(
         fit_src = (g_vec if whiten_grad else mu).astype(qdt)
 
         def fit(s):
-            return lra_p.update_lra_whiten(s, fit_src, k_fit,
-                                           lr=_sched(lr_preconditioner, state.count), beta_l=betaL,
-                                           damping=damping)
+            return lra_p.update_lra_whiten(
+                s, fit_src, k_fit,
+                lr=_sched(lr_preconditioner, state.count),
+                beta_l=_sched(betaL, state.count),
+                damping=_sched(damping, state.count))
 
         def apply(s):
             src = (mu if momentum > 0 else g_vec).astype(qdt)
             pg = lra_p.precond_grad(s, src).astype(g_vec.dtype)
-            return _amp_clip(pg, *grad_clip_max_amps)
+            return _amp_clip(pg, *(
+                _sched(a, state.count) for a in grad_clip_max_amps))
 
         if update_preconditioner_first:
             st = jax.lax.cond(do_update, fit, lambda s: s, st)
@@ -698,11 +717,11 @@ def scale_by_lra_newton(
     rank_of_approximation: int = 10,
     preconditioner_init_scale: Optional[float] = None,
     lr_preconditioner: float | Callable = 0.1,
-    betaL: float = 0.9,
-    damping: float = 1e-9,
+    betaL: float | Callable = 0.9,
+    damping: float | Callable = 1e-9,
     momentum: float = 0.0,
     momentum_dtype: Any = None,
-    grad_clip_max_norm: float = float("inf"),
+    grad_clip_max_norm: float | Callable = float("inf"),
     preconditioner_update_probability: float | Callable = 1.0,
     preconditioner_dtype: Any = None,
     seed: int = 0,
@@ -735,9 +754,11 @@ def scale_by_lra_newton(
                          (jnp.mean(h_vec.astype(jnp.float32) ** 4) + damping ** 4) ** (-1 / 8))
                 mult = jnp.where(state.count == 0, scale, 1.0).astype(qdt)
                 s = s._replace(d=s.d * mult)
-            return lra_p.update_lra_newton(s, v_vec.astype(qdt), h_vec.astype(qdt),
-                                           k_fit, lr=_sched(lr_preconditioner, state.count),
-                                           beta_l=betaL, damping=damping)
+            return lra_p.update_lra_newton(
+                s, v_vec.astype(qdt), h_vec.astype(qdt), k_fit,
+                lr=_sched(lr_preconditioner, state.count),
+                beta_l=_sched(betaL, state.count),
+                damping=_sched(damping, state.count))
 
         if hvp_fn is not None:
             if params is None:
@@ -765,7 +786,8 @@ def scale_by_lra_newton(
             mu, src = None, g_vec
 
         pre = lra_p.precond_grad(st, src.astype(qdt)).astype(g_vec.dtype)
-        pre = pre * _global_norm_scale(pre, grad_clip_max_norm)
+        pre = pre * _global_norm_scale(
+            pre, _sched(grad_clip_max_norm, state.count))
         new_state = PSGDState(count=state.count + 1, key=key, mu=mu, precond=st)
         return unravel(pre), new_state
 
@@ -787,11 +809,11 @@ def lra_newton(learning_rate: float | Callable = 0.01,
 def scale_by_dense_newton(
     preconditioner_init_scale: Optional[float] = None,
     lr_preconditioner: float | Callable = 0.1,
-    betaL: float = 0.9,
-    damping: float = 1e-9,
+    betaL: float | Callable = 0.9,
+    damping: float | Callable = 1e-9,
     momentum: float = 0.0,
     momentum_dtype: Any = None,
-    grad_clip_max_norm: float = float("inf"),
+    grad_clip_max_norm: float | Callable = float("inf"),
     preconditioner_update_probability: float | Callable = 1.0,
     dq: str = "Q0.5EQ1.5",
     preconditioner_dtype: Any = None,
@@ -830,10 +852,11 @@ def scale_by_dense_newton(
                     scale = scale * scale
                 mult = jnp.where(state.count == 0, scale, 1.0).astype(real_dtype_of(qdt))
                 s = s._replace(q=s.q * mult)
-            return dense_p.update_dense(s, v_vec.astype(qdt), h_vec.astype(qdt),
-                                        k_fit, dq, lr=_sched(lr_preconditioner, state.count),
-                                        beta_l=betaL, damping=damping,
-                                        norm_k=norm_k)
+            return dense_p.update_dense(
+                s, v_vec.astype(qdt), h_vec.astype(qdt), k_fit, dq,
+                lr=_sched(lr_preconditioner, state.count),
+                beta_l=_sched(betaL, state.count),
+                damping=_sched(damping, state.count), norm_k=norm_k)
 
         if hvp_fn is not None:
             if params is None:
@@ -861,7 +884,8 @@ def scale_by_dense_newton(
             mu, src = None, g_vec
 
         pre = dense_p.precond_grad(st, src.astype(qdt), dq).astype(g_vec.dtype)
-        pre = pre * _global_norm_scale(pre, grad_clip_max_norm)
+        pre = pre * _global_norm_scale(
+            pre, _sched(grad_clip_max_norm, state.count))
         new_state = PSGDState(count=state.count + 1, key=key, mu=mu, precond=st)
         return unravel(pre), new_state
 

@@ -8,3 +8,10 @@ from .mesh import (
     named_shardings,
     psgd_state_specs,
 )
+from .sharded import (
+    per_shard_kron_newton,
+    per_shard_kron_whiten,
+    scale_by_per_shard_kron_newton,
+    scale_by_per_shard_kron_whiten,
+    ShardedKronLeaf,
+)

@@ -74,6 +74,13 @@ def make_multihost_mesh(axis_names: Sequence[str] = ("dcn", "fsdp", "tp"),
         return make_mesh(axis_names=axis_names)
     from jax.experimental import mesh_utils
     per_host = jax.local_device_count()
+    min_axes = 1 + (len(ici_shape) if ici_shape is not None else 2)
+    if len(axis_names) < min_axes:
+        raise ValueError(
+            f"make_multihost_mesh needs at least {min_axes} axis names "
+            f"(one leading DCN axis + {min_axes - 1} ICI axes), got "
+            f"{tuple(axis_names)}. With fewer axes an ICI dimension would "
+            "fold into the DCN axis and its collectives would cross DCN.")
     if ici_shape is None:
         # trailing axes factored like make_mesh: tp=2 when even, rest fsdp
         tp = 2 if per_host % 2 == 0 and per_host >= 4 else 1

@@ -285,11 +285,25 @@ def apply_all_factors(state: KronState, plan: KronPlan, g: jax.Array) -> jax.Arr
 
 
 def _damped(g: jax.Array, key: jax.Array, damping: float) -> jax.Array:
-    """g + (damping + eps(dtype)|g|) * randn — the whitening/Newton damping
-    that upper-bounds P as P < I/damping (psgd.py:334-336)."""
-    eps = jnp.finfo(real_dtype_of(g.dtype)).eps
-    d = damping + eps * jnp.abs(g)
-    return g + d * jax.random.normal(key, g.shape, g.dtype)
+    """g + (damping + eps(dtype)|g|) * v — the whitening/Newton damping that
+    upper-bounds P as P < I/damping (psgd.py:334-336).  v is white
+    unit-variance noise (hardware-PRNG uniform on TPU, threefry normal
+    elsewhere; see ops.fastrand for why that is sound)."""
+    from ..ops.fastrand import unit_noise
+    rdt = real_dtype_of(g.dtype)
+    eps = jnp.finfo(rdt).eps
+    d = jnp.asarray(damping, rdt) + eps * jnp.abs(g)
+    return g + d * unit_noise(key, g.shape, g.dtype)
+
+
+def _damped_stacked(g: jax.Array, keys: jax.Array, damping: float) -> jax.Array:
+    """Batched `_damped` for a layer stack: layer i's noise is a pure
+    function of keys[i] (shard-composition independent)."""
+    from ..ops.fastrand import unit_noise_stacked
+    rdt = real_dtype_of(g.dtype)
+    eps = jnp.finfo(rdt).eps
+    d = jnp.asarray(damping, rdt) + eps * jnp.abs(g)
+    return g + d * unit_noise_stacked(keys, g.shape[1:], g.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -671,3 +685,155 @@ _NEWTON_UPDATES = {
     DQ_QUAD: _newton_quad,
     DQ_QUAD4P: _newton_quad4p,
 }
+
+
+# ---------------------------------------------------------------------------
+# Stacked (layer-batched) updates.
+#
+# A lax.scan-over-layers model stores each block leaf as a (n_layer, ...)
+# stack; vmapping the per-tensor update over the stack is mathematically
+# right but lowers the Pallas NS kernel to a SERIAL while loop of n_layer
+# single-factor launches (measured ~26 us each on GPT-2 124M), and vmapped
+# PRNG draws stay on the slow threefry path.  These stacked variants batch
+# the whole leaf: batched einsums for Pg/term1, ONE fused-kernel launch per
+# dense factor (grid = n_layer), and per-layer-seeded hardware-PRNG noise.
+# Layer i's result depends only on state[i], g[i], keys[i] — identical math
+# to vmap, and shard-composition independent (stack_sharding parity).
+# ---------------------------------------------------------------------------
+
+
+def _batched_subs(subs: str) -> str:
+    """Prefix a batch symbol to every einsum term."""
+    z = _sym(100)
+    lhs, rhs = subs.split("->")
+    return ",".join(z + t for t in lhs.split(",")) + "->" + z + rhs
+
+
+def _fused_ns_stacked(f, term1, lips, term2_vec, keys, lr, beta_l, norm_k,
+                      step_mat=None):
+    """Batched fused NS update: one kernel launch for the whole stack."""
+    from ..ops.pallas_kernels import fused_ns_update
+    seeds = jax.vmap(lambda k: jax.random.randint(k, (), 0, 2 ** 31 - 1))(keys)
+    fq, new_l = fused_ns_update(term1, f, lips.astype(jnp.float32),
+                                term2_vec.astype(jnp.float32), seeds, lr,
+                                beta_l, k=norm_k, step_mat=step_mat)
+    return fq, new_l.astype(lips.dtype)
+
+
+def _ns_tail_stacked_xla(f, term1, lips, term2_vec, keys_bound, keys_proc,
+                         lr, beta_l, norm_k, step_mat=None):
+    """XLA fallback for the stacked dense-factor NS tail (vmapped); key
+    streams match the per-tensor update exactly."""
+    def one(f_i, t1_i, lip_i, t2_i, kb_i, kp_i, sm_i):
+        ell = norm_lower_bound_spd(t1_i, kb_i, k=norm_k) + t2_i.astype(
+            real_dtype_of(t1_i.dtype))
+        lip = _update_lips(lip_i, ell, beta_l)
+        sm = t1_i if sm_i is None else sm_i
+        fq = f_i - _coeff(lr, lip, f_i.dtype) * (
+            sm @ f_i - t2_i.astype(real_dtype_of(f_i.dtype)) * f_i)
+        fq = procrustes_step2(fq, kp_i, norm_k=norm_k)
+        return fq, lip
+
+    if step_mat is None:
+        return jax.vmap(lambda a, b, c, d, e, g: one(a, b, c, d, e, g, None))(
+            f, term1, lips, term2_vec, keys_bound, keys_proc)
+    return jax.vmap(one)(f, term1, lips, term2_vec, keys_bound, keys_proc,
+                         step_mat)
+
+
+def update_kron_whiten_stacked(state: KronState, plan: KronPlan, g: jax.Array,
+                               keys: jax.Array, lr: float = 0.1,
+                               beta_l: float = 0.9, damping: float = 1e-9,
+                               norm_k: int = 32) -> KronState:
+    """Whitening update for a layer-stacked leaf.
+
+    ``state`` leaves and ``g`` carry a leading layer axis; ``keys`` is (B,).
+    Specialized fast path for the default Q0.5EQ1.5 geometry; other dQ vmap
+    the per-tensor update (correct, just not launch-batched)."""
+    if plan.dq != DQ_Q05EQ15 or plan.order == 0:
+        fn = lambda s, gg, kk: update_kron_whiten(
+            s, plan, gg, kk, lr, beta_l, damping, norm_k)
+        return jax.vmap(fn)(state, g, keys)
+
+    b = g.shape[0]
+    ks = jax.vmap(jax.random.split)(keys)
+    kd, krest = ks[:, 0], ks[:, 1]
+    q = state.q
+    pg = jnp.einsum(_batched_subs(plan.subs_p),
+                    *[jnp.conj(f) for f in q], *q,
+                    _damped_stacked(g, kd, damping))
+    new_q, new_l = [], []
+    for i, f in enumerate(q):
+        term1 = jnp.einsum(_batched_subs(plan.subs_gs[i]), pg, jnp.conj(pg))
+        term2 = plan.numel / plan.shape[i]
+        keys_i = jax.vmap(lambda k: jax.random.fold_in(k, i))(krest)
+        if plan.is_diag[i]:
+            ell = jnp.max(jnp.real(term1), axis=1) + term2
+            lip = jax.vmap(lambda l, e: _update_lips(l, e, beta_l))(
+                state.lips[i], ell)
+            coeff = (lr / lip).astype(real_dtype_of(f.dtype))[:, None]
+            fq = f * (1.0 - coeff * (term1 - term2))
+        else:
+            t2v = jnp.full((b,), term2, jnp.float32)
+            if _fused_ns_enabled(f.shape[-1], f.dtype):
+                fq, lip = _fused_ns_stacked(f, term1, state.lips[i], t2v,
+                                            keys_i, lr, beta_l, norm_k)
+            else:
+                keys_p = jax.vmap(
+                    lambda k: jax.random.fold_in(k, i + 200))(krest)
+                fq, lip = _ns_tail_stacked_xla(f, term1, state.lips[i], t2v,
+                                               keys_i, keys_p, lr, beta_l,
+                                               norm_k)
+        new_q.append(fq)
+        new_l.append(lip)
+    kb = jax.vmap(lambda k: jax.random.fold_in(k, 101))(krest)
+    new_q = jax.vmap(_maybe_balance)(tuple(new_q), kb)
+    return KronState(q=new_q, lips=tuple(new_l))
+
+
+def update_kron_newton_stacked(state: KronState, plan: KronPlan, v: jax.Array,
+                               h: jax.Array, keys: jax.Array, lr: float = 0.1,
+                               beta_l: float = 0.9, damping: float = 1e-9,
+                               norm_k: int = 32) -> KronState:
+    """Newton-type update for a layer-stacked leaf (see whiten variant)."""
+    if plan.dq != DQ_Q05EQ15 or plan.order == 0:
+        fn = lambda s, vv, hh, kk: update_kron_newton(
+            s, plan, vv, hh, kk, lr, beta_l, damping, norm_k)
+        return jax.vmap(fn)(state, v, h, keys)
+
+    b = v.shape[0]
+    ks = jax.vmap(jax.random.split)(keys)
+    kd, krest = ks[:, 0], ks[:, 1]
+    q = state.q
+    ph = jnp.einsum(_batched_subs(plan.subs_p),
+                    *[jnp.conj(f) for f in q], *q,
+                    _damped_stacked(h, kd, damping))
+    new_q, new_l = [], []
+    for i, f in enumerate(q):
+        term1 = jnp.einsum(_batched_subs(plan.subs_gs[i]), ph, jnp.conj(ph))
+        term2 = jnp.einsum(_batched_subs(plan.subs_gs[i]), v, jnp.conj(v))
+        keys_i = jax.vmap(lambda k: jax.random.fold_in(k, i))(krest)
+        if plan.is_diag[i]:
+            ell = jnp.max(jnp.real(term1 + term2), axis=1)
+            lip = jax.vmap(lambda l, e: _update_lips(l, e, beta_l))(
+                state.lips[i], ell)
+            coeff = (lr / lip).astype(real_dtype_of(f.dtype))[:, None]
+            fq = f * (1.0 - coeff * (term1 - term2))
+        else:
+            t2v = jnp.zeros((b,), jnp.float32)
+            if _fused_ns_enabled(f.shape[-1], f.dtype):
+                fq, lip = _fused_ns_stacked(f, term1 + term2, state.lips[i],
+                                            t2v, keys_i, lr, beta_l, norm_k,
+                                            step_mat=term1 - term2)
+            else:
+                keys_p = jax.vmap(
+                    lambda k: jax.random.fold_in(k, i + 200))(krest)
+                fq, lip = _ns_tail_stacked_xla(f, term1 + term2,
+                                               state.lips[i], t2v, keys_i,
+                                               keys_p, lr, beta_l, norm_k,
+                                               step_mat=term1 - term2)
+        new_q.append(fq)
+        new_l.append(lip)
+    kb = jax.vmap(lambda k: jax.random.fold_in(k, 101))(krest)
+    new_q = jax.vmap(_maybe_balance)(tuple(new_q), kb)
+    return KronState(q=new_q, lips=tuple(new_l))

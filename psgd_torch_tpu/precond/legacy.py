@@ -299,6 +299,28 @@ def precond_grad_newton_inv(state: NewtonInvState, g: jax.Array) -> jax.Array:
     return (state.q.T @ (state.q @ g.reshape(-1, 1))).reshape(shape)
 
 
+def update_newton_tri(q: jax.Array, v: jax.Array, h: jax.Array,
+                      lr: float = 0.01, step_normalizer: str = "2nd",
+                      tiny: float = _TINY) -> jax.Array:
+    """Classic Newton update on the *triangular* group (the reference's
+    ``update_precond_newton_math_`` with invQ=None, preconditioned...py:
+    1204-1213): a = Q h, b = Q^-T v via triangular solve, Q -= mu *
+    triu(a a^T - b b^T) Q.  Used by the numerical-stability study
+    (misc/psgd_numerical_stability.py:61-76) as the triangular-group
+    contrast to the GL(n,R) kept-inverse path."""
+    v = v.reshape(-1, 1)
+    h = h.reshape(-1, 1)
+    a = q @ h
+    b = _tri_left(q, v, lower=False, trans=True)
+    grad = jnp.triu(a @ a.T - b @ b.T)
+    rdt = real_dtype_of(q.dtype)
+    if step_normalizer == "2nd":
+        mu = lr / (jnp.sum(a * a + b * b).astype(rdt) + tiny)
+    else:
+        mu = lr / (norm_lower_bound(grad).astype(rdt) + tiny)
+    return q - mu * (grad @ q)
+
+
 # ---------------------------------------------------------------------------
 # legacy UVd (LRA) with '1st'/'2nd' step normalizers (:657-753)
 # ---------------------------------------------------------------------------

@@ -7,6 +7,10 @@ import pytest
 
 from psgd_torch_tpu.optim import classes
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 
 def rosenbrock(x):
     x1, x2 = x[0::2], x[1::2]

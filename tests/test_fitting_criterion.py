@@ -16,6 +16,10 @@ import pytest
 
 from psgd_torch_tpu.precond import legacy, lra
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 N = 20
 N_ITERS = 4000
 

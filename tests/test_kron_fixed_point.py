@@ -15,6 +15,10 @@ import pytest
 
 from psgd_torch_tpu.precond import kron
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 N_ITERS = 1500
 
 

@@ -16,6 +16,10 @@ import pytest
 
 from psgd_torch_tpu.precond import affine, legacy, splu, xmat
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 
 def _key(s):
     return jax.random.key(zlib.crc32(s.encode()))

@@ -13,6 +13,10 @@ import pytest
 
 from psgd_torch_tpu.precond import dense, lra
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 
 def _lra_problem(n=10, r=5):
     u = jax.random.normal(jax.random.key(0), (n, r), jnp.float64) / n ** 0.5

@@ -16,6 +16,10 @@ import numpy as np
 
 from psgd_torch_tpu.precond import affine
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 N = 10
 N_ITERS = 3000
 

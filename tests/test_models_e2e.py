@@ -10,6 +10,10 @@ import pytest
 import psgd_torch_tpu.optim as popt
 from psgd_torch_tpu.models import gpt2, lenet5, rnn, vit
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 
 def test_lenet5_synthetic_classification():
     key = jax.random.key(0)

@@ -13,6 +13,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 from psgd_torch_tpu.ops.linalg import (
     norm_lower_bound,
     norm_lower_bound_skh,

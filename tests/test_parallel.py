@@ -13,10 +13,11 @@ import psgd_torch_tpu.optim as popt
 from psgd_torch_tpu.models import gpt2
 from psgd_torch_tpu.parallel import (gpt2_partition_specs, make_mesh,
                                      named_shardings, psgd_state_specs)
-from psgd_torch_tpu.parallel.sharded import per_shard_kron_whiten
+from psgd_torch_tpu.parallel.sharded import scale_by_per_shard_kron_whiten
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 simulated devices")
+pytestmark = [pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 simulated devices"),
+              pytest.mark.slow]
 
 
 def _quad():
@@ -73,7 +74,7 @@ def test_per_shard_whitening_runs_and_descends():
     specs = {"w": PS("fsdp", "tp")}
     params = {"w": jax.device_put(jnp.zeros((32, 16)),
                                   NamedSharding(mesh, specs["w"]))}
-    tx = per_shard_kron_whiten(mesh, specs, preconditioner_init_scale=1.0,
+    tx = scale_by_per_shard_kron_whiten(mesh, specs, preconditioner_init_scale=1.0,
                                momentum=0.9)
     opt = optax.chain(tx, optax.scale_by_learning_rate(
         optax.linear_schedule(0.1, 0.0, 400)))
@@ -106,7 +107,7 @@ def test_per_shard_matches_single_device_math():
     p = {"w": jnp.zeros((8, 4))}
     specs = {"w": PS("fsdp", None)}
 
-    tx_shard = per_shard_kron_whiten(mesh, specs, preconditioner_init_scale=1.0,
+    tx_shard = scale_by_per_shard_kron_whiten(mesh, specs, preconditioner_init_scale=1.0,
                                      seed=7)
     tx_plain = popt.scale_by_kron_whiten(preconditioner_init_scale=1.0, seed=7)
     s1 = tx_shard.init(p)

@@ -1,0 +1,189 @@
+"""Feature-matrix tests for the per-shard (DTensor-equivalent) transforms.
+
+Reference feature list: wrapped_as_torch_optimizer_for_ddp.py:25-62 and
+wrapped_as_torch_optimizer_for_dtensor.py:104-184 — weight decay (decoupled
+and classic), momentum whitening (whiten_grad=False), biased/unbiased update
+ordering, schedules, preconditioner dtype, on-the-fly init, amp clipping —
+plus capabilities beyond the reference wrapper: multi-axis-sharded dims and
+a per-shard Newton mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as PS
+
+import psgd_torch_tpu.optim as popt
+from psgd_torch_tpu.optim.hvp import make_hvp_fn
+from psgd_torch_tpu.parallel import make_mesh
+
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+from psgd_torch_tpu.parallel.sharded import (
+    per_shard_kron_newton,
+    per_shard_kron_whiten,
+    scale_by_per_shard_kron_newton,
+    scale_by_per_shard_kron_whiten,
+)
+
+
+def _quadratic(mesh, specs, shape=(32, 16)):
+    h1 = jnp.diag(10.0 ** jnp.linspace(-1, 1, shape[0]))
+    h2 = jnp.diag(10.0 ** jnp.linspace(-0.5, 0.5, shape[1]))
+    w_star = jax.random.normal(jax.random.key(2), shape)
+
+    def loss_fn(p):
+        d = p["w"] - w_star
+        return 0.5 * jnp.sum(d * (h1 @ d @ h2))
+
+    params = {"w": jax.device_put(jnp.zeros(shape),
+                                  NamedSharding(mesh, specs["w"]))}
+    return loss_fn, params
+
+
+def _run(opt, loss_fn, params, steps, newton=False):
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        grads = jax.grad(loss_fn)(params)
+        kw = {"hvp_fn": lambda p, v: make_hvp_fn(loss_fn)(p, v)} if newton else {}
+        updates, state = opt.update(grads, state, params, **kw)
+        return optax.apply_updates(params, updates), state
+
+    for _ in range(steps):
+        params, state = step(params, state)
+        jax.block_until_ready(params)  # serialize: XLA:CPU collective limits
+    return params, state
+
+
+def test_multi_axis_sharded_dim():
+    """A dim sharded over TWO mesh axes (the reference wrapper's
+    NotImplementedError case in round 1) runs and descends."""
+    mesh = make_mesh(8, axis_names=("dp", "fsdp", "tp"))
+    specs = {"w": PS(("dp", "fsdp"), "tp")}
+    loss_fn, params = _quadratic(mesh, specs)
+    opt = optax.chain(
+        scale_by_per_shard_kron_whiten(mesh, specs,
+                                       preconditioner_init_scale=1.0),
+        optax.scale_by_learning_rate(0.1))
+    l0 = float(loss_fn(params))
+    params, state = _run(opt, loss_fn, params, 150)
+    assert float(loss_fn(params)) < 1e-2 * l0
+    # one factor per shard along the multi-axis dim: leading size 4 (=2x2)
+    leaf = state[0].precond[0]
+    assert leaf.q[0].shape[0] == 4
+
+
+def test_whiten_momentum_and_unbiased_order():
+    mesh = make_mesh(8, axis_names=("fsdp", "tp"))
+    specs = {"w": PS("fsdp", "tp")}
+    loss_fn, params = _quadratic(mesh, specs)
+    opt = optax.chain(
+        scale_by_per_shard_kron_whiten(
+            mesh, specs, preconditioner_init_scale=1.0, momentum=0.9,
+            whiten_grad=False, update_preconditioner_first=False),
+        optax.scale_by_learning_rate(0.05))
+    l0 = float(loss_fn(params))
+    params, _ = _run(opt, loss_fn, params, 150)
+    assert float(loss_fn(params)) < 0.05 * l0
+
+
+def test_whiten_momentum_requires_momentum():
+    mesh = make_mesh(2, axis_names=("fsdp",))
+    with pytest.raises(ValueError):
+        scale_by_per_shard_kron_whiten(mesh, {"w": PS("fsdp")},
+                                       whiten_grad=False, momentum=0.0)
+
+
+def test_schedules_and_onthefly_init():
+    """lr_preconditioner / update probability as schedules; init scale set
+    on the fly (the step-0 pmean path)."""
+    mesh = make_mesh(4, axis_names=("fsdp",))
+    specs = {"w": PS("fsdp", None)}
+    loss_fn, params = _quadratic(mesh, specs)
+    opt = optax.chain(
+        scale_by_per_shard_kron_whiten(
+            mesh, specs, preconditioner_init_scale=None,
+            lr_preconditioner=optax.linear_schedule(0.5, 0.1, 50),
+            preconditioner_update_probability=optax.linear_schedule(
+                1.0, 0.5, 50)),
+        optax.scale_by_learning_rate(0.1))
+    l0 = float(loss_fn(params))
+    params, _ = _run(opt, loss_fn, params, 150)
+    assert float(loss_fn(params)) < 1e-2 * l0
+
+
+def test_onthefly_init_matches_plain_transform_scale():
+    """On a 1-device mesh the on-the-fly scale must equal the plain
+    transform's per-tensor whitening scale (psgd.py:599-602)."""
+    mesh = make_mesh(1, axis_names=("fsdp",))
+    g = {"w": 3.0 * jax.random.normal(jax.random.key(5), (8, 4))}
+    p = {"w": jnp.zeros((8, 4))}
+    specs = {"w": PS("fsdp", None)}
+    tx_shard = scale_by_per_shard_kron_whiten(
+        mesh, specs, preconditioner_init_scale=None, seed=7)
+    tx_plain = popt.scale_by_kron_whiten(preconditioner_init_scale=None,
+                                         seed=7)
+    s1 = tx_shard.init(p)
+    s2 = tx_plain.init(p)
+    u1, s1 = jax.jit(tx_shard.update)(g, s1)
+    u2, s2 = jax.jit(tx_plain.update)(g, s2)
+    cos = float(jnp.sum(u1["w"] * u2["w"]) /
+                (jnp.linalg.norm(u1["w"]) * jnp.linalg.norm(u2["w"])))
+    assert cos > 0.99
+    # scales agree to a few percent (noise in the fit draw differs)
+    r = float(jnp.linalg.norm(u1["w"]) / jnp.linalg.norm(u2["w"]))
+    assert 0.8 < r < 1.25, r
+
+
+def test_weight_decay_modes():
+    mesh = make_mesh(2, axis_names=("fsdp",))
+    specs = {"w": PS("fsdp", None)}
+    p = {"w": jnp.ones((8, 4))}
+    g = {"w": jnp.zeros((8, 4))}
+    # decoupled: with zero grads the update is pure shrinkage
+    opt = per_shard_kron_whiten(mesh, specs, learning_rate=0.1,
+                                weight_decay=0.5,
+                                preconditioner_init_scale=1.0)
+    state = opt.init(p)
+    u, _ = jax.jit(opt.update)(g, state, p)
+    p2 = optax.apply_updates(p, u)
+    assert np.all(np.asarray(p2["w"]) < np.asarray(p["w"]))
+    # classic: wd folds into the preconditioned gradient
+    opt_c = per_shard_kron_whiten(mesh, specs, learning_rate=0.1,
+                                  weight_decay=0.5,
+                                  weight_decay_mode="classic",
+                                  preconditioner_init_scale=1.0)
+    state = opt_c.init(p)
+    u, _ = jax.jit(opt_c.update)(g, state, p)
+    p2 = optax.apply_updates(p, u)
+    assert np.all(np.asarray(p2["w"]) < np.asarray(p["w"]))
+
+
+def test_preconditioner_dtype():
+    mesh = make_mesh(2, axis_names=("fsdp",))
+    specs = {"w": PS("fsdp", None)}
+    p = {"w": jnp.zeros((8, 4))}
+    tx = scale_by_per_shard_kron_whiten(mesh, specs,
+                                        preconditioner_dtype=jnp.bfloat16,
+                                        momentum=0.9)
+    state = tx.init(p)
+    assert state.precond[0].q[0].dtype == jnp.bfloat16
+    assert jax.tree_util.tree_leaves(state.mu)[0].dtype == jnp.bfloat16
+
+
+def test_per_shard_newton_converges():
+    """Per-shard Newton mode (beyond the reference wrapper) solves an
+    ill-conditioned quadratic via hvp_fn."""
+    mesh = make_mesh(4, axis_names=("fsdp",))
+    specs = {"w": PS("fsdp", None)}
+    loss_fn, params = _quadratic(mesh, specs)
+    opt = per_shard_kron_newton(mesh, specs, learning_rate=0.5,
+                                preconditioner_init_scale=None)
+    l0 = float(loss_fn(params))
+    params, _ = _run(opt, loss_fn, params, 150, newton=True)
+    assert float(loss_fn(params)) < 1e-3 * l0

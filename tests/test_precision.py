@@ -13,6 +13,10 @@ import pytest
 
 from psgd_torch_tpu.precond import kron
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 N = 6          # per-dim size; implicit Hessian is 6^5 x 6^5
 DIMS = 5
 N_ITERS = 1200

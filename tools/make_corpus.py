@@ -1,0 +1,80 @@
+"""Build data/corpus.txt.gz — the real-text LM corpus for the convergence
+benchmark (no dataset egress is possible in this environment, so the corpus
+is assembled from text already present in the image and committed to the
+repo for reproducibility):
+
+  * open-source license/notice texts (natural-language English prose), and
+  * Python source files from installed open-source packages (jax, numpy,
+    optax) — real, diverse, structured text (a "code LM" corpus).
+
+Paragraph-level exact dedup removes the heavy license repetition.  The
+result is a tiny-Shakespeare-class corpus (~4 MB raw) with genuine
+word statistics and long-range structure — honest training data for the
+PSGD-vs-AdamW loss-curve comparison, unlike the round-1 synthetic
+mixing-rule stream.  Provenance is recorded in the header.
+"""
+
+import glob
+import gzip
+import hashlib
+import os
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "data", "corpus.txt.gz")
+TARGET_BYTES = 4_500_000
+
+PROSE_SOURCES = [
+    "/THIRD_PARTY_NOTICES/LICENSES.txt",
+    "/opt/venv/lib/python3.12/site-packages/libtpu/THIRD_PARTY_NOTICES.txt",
+    "/opt/venv/lib/python3.12/site-packages/tensorflow/THIRD_PARTY_NOTICES.txt",
+]
+
+CODE_GLOBS = [
+    "/opt/venv/lib/python3.12/site-packages/jax/_src/*.py",
+    "/opt/venv/lib/python3.12/site-packages/jax/_src/lax/*.py",
+    "/opt/venv/lib/python3.12/site-packages/jax/_src/numpy/*.py",
+    "/opt/venv/lib/python3.12/site-packages/numpy/_core/*.py",
+    "/opt/venv/lib/python3.12/site-packages/optax/_src/*.py",
+]
+
+
+def dedup_paragraphs(text: str) -> str:
+    seen, out = set(), []
+    for para in text.split("\n\n"):
+        key = hashlib.sha1(para.strip().encode("utf-8", "ignore")).hexdigest()
+        if para.strip() and key not in seen:
+            seen.add(key)
+            out.append(para)
+    return "\n\n".join(out)
+
+
+def main():
+    parts = ["# corpus: license texts + open-source python sources "
+             "(deduplicated); built by tools/make_corpus.py\n"]
+    size = 0
+    for path in PROSE_SOURCES:
+        if not os.path.exists(path):
+            continue
+        with open(path, errors="ignore") as f:
+            t = dedup_paragraphs(f.read())
+        parts.append(t)
+        size += len(t)
+    files = []
+    for g in CODE_GLOBS:
+        files.extend(sorted(glob.glob(g)))
+    for path in files:
+        if size >= TARGET_BYTES:
+            break
+        with open(path, errors="ignore") as f:
+            t = f.read()
+        parts.append(t)
+        size += len(t)
+    text = "\n\n".join(parts)
+    os.makedirs(os.path.dirname(os.path.abspath(OUT)), exist_ok=True)
+    with gzip.open(OUT, "wt", encoding="utf-8") as f:
+        f.write(text)
+    print(f"wrote {OUT}: {len(text)/1e6:.2f} MB raw, "
+          f"{os.path.getsize(OUT)/1e6:.2f} MB gzipped")
+
+
+if __name__ == "__main__":
+    main()
