@@ -59,7 +59,9 @@ def main():
     params = gpt2.init_gpt2(key, cfg)
     mask = gpt2.scanned_layers_mask(params)
 
-    # ZeRO-style layer sharding when n_layer divides the fsdp axis
+    # ZeRO-style layer sharding when n_layer divides the fsdp axis, plus
+    # dim-sharded embedding Q updates (factor_sharding)
+    p_specs = gpt2_partition_specs()
     stack_axis = "fsdp" if cfg.n_layer % mesh.shape["fsdp"] == 0 else None
     opt = popt.kron_whiten(
         learning_rate=1e-3, momentum=0.9, preconditioner_max_skew=2.0,
@@ -67,12 +69,13 @@ def main():
         preconditioner_update_probability=optax.linear_schedule(
             1.0, 0.1, max(args.steps // 2, 1)),
         scanned_layers=mask,
-        stack_sharding=(mesh, stack_axis) if stack_axis else None)
+        stack_sharding=(mesh, stack_axis) if stack_axis else None,
+        factor_sharding=(mesh, p_specs))
     state = opt.init(params)
 
-    p_specs = gpt2_partition_specs()
     s_specs = psgd_state_specs(p_specs, state, scanned_layers=mask,
-                               stack_axis=stack_axis)
+                               stack_axis=stack_axis,
+                               factor_sharding_params=params, mesh=mesh)
     params = jax.device_put(params, named_shardings(mesh, p_specs))
     state = jax.device_put(state, named_shardings(mesh, s_specs))
     data_shard = NamedSharding(mesh, PS("dp", None))

@@ -237,6 +237,86 @@ def _fit_apply_kron_leaf_layer_sharded(
     return fn(st, fit_src, apply_src, do_update)
 
 
+def _squeeze_spec(shape, spec) -> Tuple[Tuple[str, ...], ...]:
+    """Per-squeezed-dim tuple of mesh axes from a PartitionSpec (singleton
+    dims dropped, like _squeezed_shape; sharding a singleton dim is a
+    no-op so its entry is discarded)."""
+    entries = tuple(spec) + (None,) * (len(shape) - len(tuple(spec)))
+    out = []
+    for s, e in zip(shape, entries):
+        if int(s) == 1:
+            continue
+        if e is None:
+            out.append(())
+        elif isinstance(e, (tuple, list)):
+            out.append(tuple(str(a) for a in e))
+        else:
+            out.append((str(e),))
+    return tuple(out)
+
+
+def _sharded_amp_clip(pg, clip_amps, psum_axes, total_numel):
+    """_amp_clip with the RMS taken over the GLOBAL leaf (local sum + psum
+    over the leaf's sharded axes)."""
+    max_avg_amp, max_element_amp = clip_amps
+    rdt = real_dtype_of(pg.dtype)
+    ss = jnp.sum(jnp.real(pg * jnp.conj(pg)).astype(jnp.float32))
+    if psum_axes:
+        ss = jax.lax.psum(ss, psum_axes)
+    avg_amp = jnp.sqrt(ss / total_numel)
+    pg = pg * jnp.minimum(1.0, max_avg_amp / jnp.maximum(avg_amp, 1e-30)).astype(rdt)
+    max_el = jnp.asarray(max_element_amp, rdt)
+    if jnp.issubdtype(pg.dtype, jnp.complexfloating):
+        return pg / jnp.maximum(jnp.abs(pg) / max_el, 1.0)
+    return jnp.clip(pg, -max_el, max_el)
+
+
+def _dim_sharded_state_specs(plan, eff_axes):
+    """Specs for a dim-sharded leaf's KronState in the compute layout:
+    diag factors sharded by their effective axes, dense replicated."""
+    from jax.sharding import PartitionSpec as PS
+    q_specs = []
+    for i, diag in enumerate(plan.is_diag):
+        if diag:
+            q_specs.append(PS(eff_axes[i] if eff_axes[i] else None))
+        else:
+            q_specs.append(PS(None, None))
+    return kron_p.KronState(q=tuple(q_specs),
+                            lips=tuple(PS() for _ in plan.is_diag))
+
+
+def _fit_apply_kron_leaf_dim_sharded(
+        st, plan, key, mesh, dim_axes, do_update, fit_src, apply_src,
+        out_dtype, clip_amps, fit_first=True, **fit_kw):
+    """Fit + apply for a dim-sharded non-stacked leaf under shard_map: one
+    GLOBAL preconditioner, local contractions + psum, with mesh axes on
+    dense dims re-sharded onto a diag dim by all_to_all (see
+    kron.update_kron_whiten_dim_sharded)."""
+    from jax.sharding import PartitionSpec as PS
+    from ..utils.compat import shard_map
+
+    axis_sizes = dict(zip(mesh.axis_names,
+                          (int(s) for s in mesh.devices.shape)))
+    rplan = kron_p.dim_shard_reshard_plan(plan, dim_axes, axis_sizes)
+    eff_axes = rplan[0]
+    leaf_spec = PS(*[axes if axes else None for axes in dim_axes])
+    state_specs = _dim_sharded_state_specs(plan, eff_axes)
+    all_axes = tuple(ax for axes in dim_axes for ax in axes)
+
+    def local(st_loc, fit_loc, apply_loc, do_update):
+        st_new, pg = kron_p.update_kron_whiten_dim_sharded(
+            st_loc, plan, fit_loc, key, dim_axes, rplan, apply_loc,
+            do_update, fit_first=fit_first, **fit_kw)
+        pg = _sharded_amp_clip(pg.astype(out_dtype), clip_amps, all_axes,
+                               plan.numel)
+        return st_new, pg
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(state_specs, leaf_spec, leaf_spec, PS()),
+                   out_specs=(state_specs, leaf_spec), check_rep=False)
+    return fn(st, fit_src, apply_src, do_update)
+
+
 class PSGDState(NamedTuple):
     """Common optimizer state: step count, PRNG key, momentum, preconditioner."""
     count: jax.Array
@@ -290,6 +370,7 @@ def scale_by_kron_whiten(
     seed: int = 0,
     scanned_layers: Any = None,
     stack_sharding: Optional[Tuple[Any, str]] = None,
+    factor_sharding: Optional[Tuple[Any, Any]] = None,
 ) -> optax.GradientTransformation:
     """Kronecker-factored gradient/momentum whitening preconditioner.
 
@@ -306,6 +387,14 @@ def scale_by_kron_whiten(
     GSPMD partitioning choices.  Pair with
     ``parallel.psgd_state_specs(..., stack_axis=axis)`` so the Q/L state
     lives layer-sharded; n_layer must divide by the mesh axis size.
+
+    ``factor_sharding=(mesh, param_specs)`` covers the NON-stacked leaves
+    whose dims are sharded (embeddings under fsdp/tp): their fit + apply run
+    under shard_map with local contractions + one psum per dense factor
+    (SURVEY.md §7 "Sharded factor updates"), keeping one GLOBAL Q per leaf —
+    same math as replicated, ~1/k compute per device.  Pair with
+    ``psgd_state_specs(..., factor_sharding_params=params)`` so diag factors
+    live sharded along their dims.  Q0.5EQ1.5 only.
     """
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
@@ -383,13 +472,32 @@ def scale_by_kron_whiten(
         layer_sharded = [
             f and stack_sharding is not None and not all(p.is_diag)
             for f, p in zip(flags, plans)]
+        # non-stacked leaves with sharded dims -> the dim-sharded shard_map
+        # path (local contractions + psum; embeddings)
+        dim_sharded = [None] * len(leaves)
+        if factor_sharding is not None:
+            fs_mesh, fs_specs = factor_sharding
+            from jax.sharding import PartitionSpec as _PS
+            spec_leaves = jax.tree_util.tree_leaves(
+                fs_specs, is_leaf=lambda x: isinstance(x, _PS))
+            if len(spec_leaves) != len(leaves):
+                raise ValueError("factor_sharding specs do not match params")
+            for i, (g, f, p, spec) in enumerate(
+                    zip(leaves, flags, plans, spec_leaves)):
+                if f or p.dq != kron_p.DQ_Q05EQ15:
+                    continue
+                axes = _squeeze_spec(g.shape, spec)
+                if any(axes):
+                    dim_sharded[i] = axes
+        routed = [ls or (ds is not None)
+                  for ls, ds in zip(layer_sharded, dim_sharded)]
 
         def fit_all(states):
             out = []
             for i, (st, plan, f, ls, src) in enumerate(
-                    zip(states, plans, flags, layer_sharded, fit_sources)):
+                    zip(states, plans, flags, routed, fit_sources)):
                 if ls:
-                    out.append(st)  # handled by the fused sharded path
+                    out.append(st)  # handled by a fused sharded path
                     continue
                 qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
                 out.append(_fit_kron_leaf(
@@ -403,10 +511,10 @@ def scale_by_kron_whiten(
             # (psgd.py:628-631) — independent of what Q is fitted on.
             out = []
             for st, plan, f, ls, src, g in zip(states, plans, flags,
-                                               layer_sharded, apply_sources,
+                                               routed, apply_sources,
                                                leaves):
                 if ls:
-                    out.append(None)  # handled by the fused sharded path
+                    out.append(None)  # handled by a fused sharded path
                     continue
                 qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
                 pg = _apply_kron_leaf(st, plan, src.astype(qdt), f)
@@ -437,6 +545,27 @@ def scale_by_kron_whiten(
                 qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
                 st_new, pg = _fit_apply_kron_leaf_layer_sharded(
                     st, plan, jax.random.fold_in(k_fit, i), mesh_, axis_,
+                    do_update, fsrc.astype(qdt), asrc.astype(qdt),
+                    g.dtype, clip_amps,
+                    fit_first=update_preconditioner_first,
+                    lr=lr_q, beta_l=beta_l_t, damping=damping_t,
+                    norm_k=norm_k)
+                states_t[i] = st_new
+                pre[i] = pg.reshape(g.shape)
+            states_t = tuple(states_t)
+
+        if factor_sharding is not None and any(ds is not None
+                                               for ds in dim_sharded):
+            fs_mesh, _ = factor_sharding
+            states_t = list(states_t)
+            for i, (st, plan, ds, fsrc, asrc, g) in enumerate(
+                    zip(states_t, plans, dim_sharded, fit_sources,
+                        apply_sources, leaves)):
+                if ds is None:
+                    continue
+                qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
+                st_new, pg = _fit_apply_kron_leaf_dim_sharded(
+                    st, plan, jax.random.fold_in(k_fit, i), fs_mesh, ds,
                     do_update, fsrc.astype(qdt), asrc.astype(qdt),
                     g.dtype, clip_amps,
                     fit_first=update_preconditioner_first,

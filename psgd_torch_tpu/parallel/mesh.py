@@ -130,7 +130,9 @@ def named_shardings(mesh: Mesh, specs: Any) -> Any:
 
 def psgd_state_specs(param_specs: Any, state: PSGDState,
                      scanned_layers: Any = None,
-                     stack_axis: Optional[str] = None) -> PSGDState:
+                     stack_axis: Optional[str] = None,
+                     factor_sharding_params: Any = None,
+                     mesh: Optional[Mesh] = None) -> PSGDState:
     """Shardings for a PSGDState: momentum follows the params, scalars and
     PRNG key replicated, Kron Q/L factors replicated — unless ``stack_axis``
     is given.
@@ -140,6 +142,12 @@ def psgd_state_specs(param_specs: Any, state: PSGDState,
     memory while keeping the Q-update free of collectives; shard the params
     (fsdp) and the gradients instead.  parallel.sharded provides the
     per-shard-whitening mode when factors must be local.
+
+    ``factor_sharding_params`` (the params pytree, for leaf shapes) shards
+    the DIAG Kron factors of non-stacked dim-sharded leaves along their
+    dims' mesh axes — the state layout required by the transform's
+    ``factor_sharding`` option (embedding Q updates with local contractions
+    + psum instead of GSPMD's ~50%-efficient partitioning).
 
     ``stack_axis`` (with the transform's ``scanned_layers`` mask) shards the
     *leading layer-stack axis* of scanned leaves' Q/L factors over that mesh
@@ -153,8 +161,13 @@ def psgd_state_specs(param_specs: Any, state: PSGDState,
     """
     replicate = lambda st: jax.tree_util.tree_map(lambda _: PS(), st)
     flags = None
-    if stack_axis is not None and scanned_layers is not None:
+    if scanned_layers is not None:
         flags = [bool(f) for f in jax.tree_util.tree_leaves(scanned_layers)]
+
+    spec_leaves = jax.tree_util.tree_leaves(
+        param_specs, is_leaf=lambda x: isinstance(x, PS))
+    shape_leaves = (jax.tree_util.tree_leaves(factor_sharding_params)
+                    if factor_sharding_params is not None else None)
 
     def stacked_kron(ks: KronState) -> KronState:
         return KronState(
@@ -162,13 +175,42 @@ def psgd_state_specs(param_specs: Any, state: PSGDState,
             lips=tuple(PS(stack_axis, *([None] * (l.ndim - 1)))
                        for l in ks.lips))
 
+    def dim_sharded_kron(ks: KronState, leaf, spec) -> KronState:
+        from ..optim.transforms import _squeeze_spec
+        axes = _squeeze_spec(leaf.shape, spec)
+        if mesh is not None and len(axes) == len(ks.q) and all(
+                f.ndim >= 1 for f in ks.q):
+            # compute-layout specs: diag factors carry the axes moved off
+            # dense dims (kron.dim_shard_reshard_plan)
+            from ..precond.kron import dim_shard_reshard_plan
+
+            class _P:
+                shape = tuple(int(f.shape[0]) for f in ks.q)
+                is_diag = tuple(f.ndim == 1 for f in ks.q)
+            axis_sizes = dict(zip(mesh.axis_names,
+                                  (int(s) for s in mesh.devices.shape)))
+            axes = dim_shard_reshard_plan(_P, axes, axis_sizes)[0]
+        qs = []
+        for i, f in enumerate(ks.q):
+            if f.ndim == 1 and i < len(axes) and axes[i]:
+                qs.append(PS(axes[i]))
+            else:
+                qs.append(PS(*([None] * f.ndim)))
+        return KronState(q=tuple(qs), lips=tuple(PS() for _ in ks.lips))
+
     def precond_specs(precond):
-        if flags is None or not isinstance(precond, tuple):
+        if not isinstance(precond, tuple):
             return replicate(precond)
         out = []
-        for ks, f in zip(precond, flags):
-            if f and isinstance(ks, KronState):
+        for i, ks in enumerate(precond):
+            f = flags[i] if flags is not None else False
+            if f and stack_axis is not None and isinstance(ks, KronState):
                 out.append(stacked_kron(ks))
+            elif (not f and shape_leaves is not None
+                  and isinstance(ks, KronState)
+                  and i < len(spec_leaves)):
+                out.append(dim_sharded_kron(ks, shape_leaves[i],
+                                            spec_leaves[i]))
             else:
                 out.append(replicate(ks))
         return tuple(out)

@@ -791,6 +791,206 @@ def update_kron_whiten_stacked(state: KronState, plan: KronPlan, g: jax.Array,
     return KronState(q=new_q, lips=tuple(new_l))
 
 
+# ---------------------------------------------------------------------------
+# Dim-sharded update: one GLOBAL Kron preconditioner for a leaf whose dims
+# are sharded over mesh axes (embeddings under fsdp/tp), computed with
+# local contractions + small collectives inside shard_map.
+#
+# SURVEY.md §7 "Sharded factor updates": term1 = exprGs[i](Pg, Pg*) is a
+# contraction over all dims but i —
+#   * dims sharded on j != i: local contraction + psum of the (n_i, n_i)
+#     result (1.2 MB for a 768 factor, vs GSPMD's ~50% redundant compute);
+#   * a DENSE dim sharded on its own axis: all-gather the leaf slab along
+#     that dim first (diag-sharded dims, the big embedding dims, never
+#     gather).
+# Dense factors stay replicated (identical collectived inputs + identical
+# PRNG keys on every device -> bitwise-identical Q, zero broadcasts); diag
+# factors live sharded along their dim.  Math identical to the replicated
+# update; communication: the dense-dim all-gathers + one psum per dense
+# factor (+ pmax scalars).
+# ---------------------------------------------------------------------------
+
+
+def _linear_axis_index(axes):
+    idx = jnp.zeros((), jnp.int32)
+    for ax in axes:
+        idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+    return idx
+
+
+def dim_shard_reshard_plan(plan: KronPlan, dim_axes, axis_sizes):
+    """Compute layout for the dim-sharded update: every mesh axis that
+    shards a DENSE dim is moved onto the largest divisible diag dim (via
+    all_to_all inside the update) so the O(numel x n) contractions scale by
+    the FULL shard count; axes with no divisible diag target fall back to
+    an all-gather of their dim.
+
+    Args:
+      dim_axes: per-dim tuple of mesh axis names sharding the leaf.
+      axis_sizes: mapping axis name -> mesh size.
+    Returns (eff_axes, moves, gather_dims):
+      eff_axes: per-dim axes in the compute layout (diag dims may gain
+        moved axes, appended minor to their own);
+      moves: ordered (dense_dim, axis, target_diag_dim) all_to_all steps;
+      gather_dims: dense dims to all-gather instead.
+    """
+    eff = [tuple(a) for a in dim_axes]
+    local = [plan.shape[d] for d in range(len(plan.shape))]
+    for d, axes in enumerate(dim_axes):
+        for ax in axes:
+            local[d] //= axis_sizes[ax]
+    moves, gather_set = [], set()
+    for d in range(len(plan.shape)):
+        if plan.is_diag[d] or not dim_axes[d]:
+            continue
+        dim_moves = []
+        ok = True
+        # minor axis first: executing the all_to_alls in list order then
+        # reassembles dim d in global order, and eff[t]'s append order
+        # matches the resulting ownership decomposition of t
+        for ax in reversed(dim_axes[d]):
+            k = axis_sizes[ax]
+            # largest diag dim whose current local size divides by k
+            targets = sorted(
+                (t for t in range(len(plan.shape))
+                 if plan.is_diag[t] and local[t] % k == 0),
+                key=lambda t: -local[t])
+            if not targets:
+                ok = False
+                break
+            t = targets[0]
+            dim_moves.append((d, ax, t))
+            local[t] //= k
+            eff[t] = tuple(eff[t]) + (ax,)
+        if ok:
+            moves.extend(dim_moves)
+            eff[d] = ()
+        else:
+            for (_, ax, t) in dim_moves:  # undo partial placement
+                local[t] *= axis_sizes[ax]
+                eff[t] = tuple(eff[t][:-1])
+            gather_set.add(d)
+    return tuple(eff), moves, tuple(sorted(gather_set))
+
+
+def update_kron_whiten_dim_sharded(
+        state: KronState, plan: KronPlan, g: jax.Array, key: jax.Array,
+        dim_axes, reshard_plan, apply_src: jax.Array, do_update,
+        lr: float = 0.1, beta_l: float = 0.9, damping: float = 1e-9,
+        norm_k: int = 32, fit_first: bool = True):
+    """Whiten-fit + apply for a dim-sharded leaf, executed INSIDE shard_map.
+
+    Args:
+      state: dense factors full (replicated), diag factors local slices in
+        the COMPUTE layout (sharded by reshard_plan's eff axes).
+      g / apply_src: local blocks in the leaf's own sharding.
+      dim_axes: per-plan-dim tuple of mesh axis names ((), single or multi).
+      reshard_plan: (eff_axes, moves, gather_dims) from
+        dim_shard_reshard_plan — mesh axes on dense dims are moved onto a
+        diag dim via all_to_all so every contraction scales by the full
+        shard count (an all-gather fallback covers non-divisible cases).
+      do_update: traced bool (update-probability gate).
+    Returns (new_state_local, preconditioned_apply_src_local).
+    """
+    if plan.dq != DQ_Q05EQ15:
+        raise NotImplementedError("dim-sharded update supports Q0.5EQ1.5")
+    eff_axes, moves, gather_dims = reshard_plan
+
+    def to_compute(x):
+        for d in gather_dims:
+            for ax in reversed(dim_axes[d]):
+                x = jax.lax.all_gather(x, ax, axis=d, tiled=True)
+        for (d, ax, t) in moves:
+            x = jax.lax.all_to_all(x, ax, split_axis=t, concat_axis=d,
+                                   tiled=True)
+        return x
+
+    g = to_compute(g)
+    apply_src = to_compute(apply_src)
+    diag_axes = [eff_axes[d] if plan.is_diag[d] else ()
+                 for d in range(len(plan.shape))]
+
+    # noise key: folded with the shard position along still-sharded (diag)
+    # dims — each shard draws its own rows' noise; gate/bound/Procrustes
+    # keys stay UNFOLDED so replicated decisions are bitwise identical.
+    k_noise = key
+    for axes in diag_axes:
+        if axes:
+            k_noise = jax.random.fold_in(k_noise, _linear_axis_index(axes))
+    kd = jax.random.split(k_noise)[0]
+    krest = jax.random.split(key)[1]
+
+    def fit(st):
+        q = st.q
+        pg = jnp.einsum(plan.subs_p, *[jnp.conj(f) for f in q], *q,
+                        _damped(g, kd, damping))
+        new_q, new_l = [], []
+        for i, f in enumerate(q):
+            term1 = jnp.einsum(plan.subs_gs[i], pg, jnp.conj(pg))
+            red = tuple(ax for d, axes in enumerate(diag_axes) if d != i
+                        for ax in axes)
+            if red:
+                term1 = jax.lax.psum(term1, red)
+            term2 = plan.numel / plan.shape[i]
+            if plan.is_diag[i]:
+                ell = jnp.max(jnp.real(term1)) + term2
+                if diag_axes[i]:
+                    ell = jax.lax.pmax(ell, diag_axes[i])
+                lip = _update_lips(st.lips[i], ell, beta_l)
+                fq = f * (1.0 - _coeff(lr, lip, f.dtype) * (term1 - term2))
+            elif _fused_ns_enabled(f.shape[0], f.dtype):
+                fq, lip = _fused_ns_step(f, term1, st.lips[i], term2,
+                                         jax.random.fold_in(krest, i), lr,
+                                         beta_l, norm_k)
+            else:
+                ell = norm_lower_bound_spd(
+                    term1, jax.random.fold_in(krest, i), k=norm_k) + term2
+                lip = _update_lips(st.lips[i], ell, beta_l)
+                fq = f - _coeff(lr, lip, f.dtype) * (term1 @ f - term2 * f)
+                fq = procrustes_step2(fq, jax.random.fold_in(krest, i + 200),
+                                      norm_k=norm_k)
+            new_q.append(fq)
+            new_l.append(lip)
+
+        # balancing: diag factors' max-abs needs a pmax along their dim
+        def balance(qt):
+            acc = lifted_real_dtype(qt[0].dtype)
+            norms = []
+            for i, f in enumerate(qt):
+                m = jnp.max(jnp.abs(f)).astype(acc)
+                if plan.is_diag[i] and diag_axes[i]:
+                    m = jax.lax.pmax(m, diag_axes[i])
+                norms.append(m)
+            gmean = jnp.prod(jnp.stack(norms)) ** (1.0 / len(qt))
+            return tuple(f * (gmean / n).astype(real_dtype_of(f.dtype))
+                         for f, n in zip(qt, norms))
+
+        if len(new_q) > 1:
+            u = jax.random.uniform(jax.random.fold_in(krest, 101))
+            new_q = jax.lax.cond(u < 0.01, balance, lambda t: t,
+                                 tuple(new_q))
+        return KronState(q=tuple(new_q), lips=tuple(new_l))
+
+    st_new = jax.lax.cond(do_update, fit, lambda s: s, state)
+    st_used = st_new if fit_first else state
+    pg_out = jnp.einsum(plan.subs_p, *[jnp.conj(f) for f in st_used.q],
+                        *st_used.q, apply_src)
+
+    # back to the leaf's own sharding: inverse all_to_alls, then slice the
+    # gathered dims to this device's block
+    for (d, ax, t) in reversed(moves):
+        pg_out = jax.lax.all_to_all(pg_out, ax, split_axis=d, concat_axis=t,
+                                    tiled=True)
+    for d in gather_dims:
+        k = 1
+        for ax in dim_axes[d]:
+            k *= jax.lax.axis_size(ax)
+        loc = plan.shape[d] // k
+        pg_out = jax.lax.dynamic_slice_in_dim(
+            pg_out, _linear_axis_index(dim_axes[d]) * loc, loc, axis=d)
+    return st_new, pg_out
+
+
 def update_kron_newton_stacked(state: KronState, plan: KronPlan, v: jax.Array,
                                h: jax.Array, keys: jax.Array, lr: float = 0.1,
                                beta_l: float = 0.9, damping: float = 1e-9,
