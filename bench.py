@@ -103,6 +103,25 @@ def time_program(fn, args, n_inner=N_STEPS, n_outer=3):
     return best, float(loss)
 
 
+def time_interleaved(fns_args, n_inner=N_STEPS, n_outer=6):
+    """Best-of-n timing with the programs interleaved per round, so slow
+    drift in the remote-TPU round-trip (several ms over minutes) cancels in
+    the ratios instead of landing on whichever program ran later."""
+    losses = []
+    for fn, args in fns_args:  # warmup: compile + first run
+        loss, cs = fn(*args)
+        _ = float(loss) + float(cs)
+        losses.append(float(loss))
+    best = [float("inf")] * len(fns_args)
+    for _ in range(n_outer):
+        for i, (fn, args) in enumerate(fns_args):
+            t0 = time.perf_counter()
+            loss, cs = fn(*args)
+            _ = float(loss) + float(cs)
+            best[i] = min(best[i], (time.perf_counter() - t0) / n_inner)
+    return best, losses
+
+
 def main():
     import psgd_torch_tpu.optim as popt
     from psgd_torch_tpu.models import gpt2
@@ -133,10 +152,9 @@ def main():
     nk = 128 if on_tpu else 32
 
     # --- AdamW baseline (reference gpt2 demo settings, misc/gpt2.py:400-413)
+    # vs PSGD at the production operating point (p=0.1) and at p=1.0, all
+    # timed interleaved so remote-runtime drift cancels in the ratios
     adamw = optax.adamw(1e-3, b1=0.9, b2=0.95, weight_decay=0.01)
-    t_adamw, l_adamw = time_program(make_n_step(adamw, loss_fn),
-                                    (params, adamw.init(params), tokens, targets))
-    log(f"adamw step: {t_adamw*1e3:.2f} ms (loss {l_adamw:.3f})")
 
     def psgd_opt(p_update):
         return popt.kron_whiten(
@@ -147,16 +165,18 @@ def main():
             norm_k=nk, weight_decay=0.01,
             scanned_layers=mask)
 
-    # --- PSGD at the production operating point (p_update = 0.1)
-    opt01 = psgd_opt(0.1)
-    t_psgd01, l_psgd01 = time_program(make_n_step(opt01, loss_fn),
-                                      (params, opt01.init(params), tokens, targets))
+    opt01, opt1 = psgd_opt(0.1), psgd_opt(1.0)
+    (t_adamw, t_psgd01, t_psgd1), (l_adamw, l_psgd01, l_psgd1) = \
+        time_interleaved([
+            (make_n_step(adamw, loss_fn),
+             (params, adamw.init(params), tokens, targets)),
+            (make_n_step(opt01, loss_fn),
+             (params, opt01.init(params), tokens, targets)),
+            (make_n_step(opt1, loss_fn),
+             (params, opt1.init(params), tokens, targets)),
+        ])
+    log(f"adamw step: {t_adamw*1e3:.2f} ms (loss {l_adamw:.3f})")
     log(f"psgd step (p=0.1): {t_psgd01*1e3:.2f} ms (loss {l_psgd01:.3f})")
-
-    # --- PSGD updating Q every step (p_update = 1.0)
-    opt1 = psgd_opt(1.0)
-    t_psgd1, l_psgd1 = time_program(make_n_step(opt1, loss_fn),
-                                    (params, opt1.init(params), tokens, targets))
     log(f"psgd step (p=1.0): {t_psgd1*1e3:.2f} ms (loss {l_psgd1:.3f})")
 
     # --- isolated Q-update + Pg-apply (the primary kernel metric).

@@ -49,9 +49,10 @@ def run_lenet5(iters: int, batch: int):
         # one kron(Q2, Q1) affine preconditioner per [W; b] layer matrix
         # (reference misc/affine_wrapping_F_conv2d.py:141 drives KronWhiten;
         # the Affine class itself is the :186 RNN demo — both covered here)
-        ("psgd-affine", lt.affine(learning_rate=0.1,
+        ("psgd-affine", lt.affine(learning_rate=0.05,
                                   preconditioner_type="whitening",
-                                  lr_preconditioner=0.1)),
+                                  lr_preconditioner=0.1,
+                                  grad_clip_max_norm=10.0)),
     ]:
         params, state = params0, opt.init(params0)
         step = make_step(opt)
@@ -75,8 +76,10 @@ def run_rnn(iters: int, batch: int, seq_len: int):
     def loss_fn(params, xs, target):
         return rnn.xor_loss(rnn.apply_rnn(params, xs), target)
 
-    opt = lt.affine(learning_rate=0.02, preconditioner_type="whitening",
-                    lr_preconditioner=0.1, grad_clip_max_norm=10.0)
+    # reference settings: lr_params=0.01, lr_preconditioner=0.01, batch 128,
+    # seq_len 16, up to 100k iterations (affine_wrapping_VF_rnn_tanh.py:153,187)
+    opt = lt.affine(learning_rate=0.01, preconditioner_type="whitening",
+                    lr_preconditioner=0.01, grad_clip_max_norm=10.0)
     params, state = params0, opt.init(params0)
 
     @jax.jit
@@ -104,13 +107,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", choices=["lenet5", "rnn"], default="lenet5")
     ap.add_argument("--iters", type=int, default=200)
-    ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--seq_len", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--seq_len", type=int, default=16)
     args = ap.parse_args()
     if args.model == "lenet5":
-        run_lenet5(args.iters, args.batch)
+        run_lenet5(args.iters, min(args.batch, 64))
     else:
-        run_rnn(max(args.iters, 2000), args.batch, args.seq_len)
+        # the reference demo budgets up to 100k iterations for this task
+        run_rnn(max(args.iters, 20000), args.batch, args.seq_len)
 
 
 if __name__ == "__main__":

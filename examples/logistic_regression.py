@@ -67,11 +67,44 @@ def run(name, opt, key, n_feat):
               f"best test err {best_err:.4f}")
 
 
+def run_lbfgs(key, n_feat):
+    """Stochastic L-BFGS baseline ("the algorithm of choice" the reference
+    compares PSGD-LRA against, misc/mnist_logistic_regression.py:90)."""
+    w = jnp.zeros((n_feat + 1, 10))
+    opt = optax.lbfgs(memory_size=10)
+    state = opt.init(w)
+
+    @jax.jit
+    def step(w, state, feats, labels):
+        fn = lambda ww: loss_fn(ww, feats, labels)
+        loss, grads = jax.value_and_grad(fn)(w)
+        updates, state = opt.update(grads, state, w, value=loss, grad=grads,
+                                    value_fn=fn)
+        return optax.apply_updates(w, updates), state, loss
+
+    ti, tl = lenet5.synthetic_mnist(jax.random.key(999), 2000)
+    tf = featurize(ti)
+    best_err = 1.0
+    for epoch in range(EPOCHS):
+        total = 0.0
+        for i in range(STEPS_PER_EPOCH):
+            kd = jax.random.fold_in(key, epoch * STEPS_PER_EPOCH + i)
+            images, labels = lenet5.synthetic_mnist(kd, BATCH)
+            w, state, loss = step(w, state, featurize(images), labels)
+            total += float(loss)
+        err = float(jnp.mean(jnp.argmax(tf @ w[:-1] + w[-1], axis=1) != tl))
+        best_err = min(best_err, err)
+        print(f"[lbfgs] epoch {epoch + 1:2d}  "
+              f"train loss {total / STEPS_PER_EPOCH:.4f}  "
+              f"best test err {best_err:.4f}")
+
+
 def main():
     n_feat = SIDE * SIDE + (SIDE * SIDE) * (SIDE * SIDE + 1) // 2
     print(f"params: {(n_feat + 1) * 10 / 1e6:.2f}M")
     key = jax.random.key(0)
     run("sgd", optax.sgd(0.5), key, n_feat)
+    run_lbfgs(key, n_feat)
     run("psgd-lra",
         popt.lra_whiten(learning_rate=0.05, rank_of_approximation=10,
                         momentum=0.9),

@@ -61,11 +61,39 @@ def run(name, opt, loss_fn, params, newton=False):
     return losses
 
 
+def run_lbfgs(loss_fn, params):
+    """optax.lbfgs baseline (the reference compares against LM-BFGS,
+    demo_usage_of_all_preconditioners.py:40-60) with its linesearch."""
+    opt = optax.lbfgs()
+    state = opt.init(params)
+    value_and_grad = optax.value_and_grad_from_state(loss_fn)
+
+    @jax.jit
+    def step(params, state):
+        loss, grads = value_and_grad(params, state=state)
+        updates, state = opt.update(grads, state, params, value=loss,
+                                    grad=grads, value_fn=loss_fn)
+        return optax.apply_updates(params, updates), state, loss
+
+    params, state, _ = step(params, state)
+    t0 = time.time()
+    losses = []
+    for _ in range(NUM_ITERS):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    dt = time.time() - t0
+    print(f"{'L-BFGS':>14s}: final loss {losses[-1]:.3e}  "
+          f"min {min(losses):.3e}  ({dt:.1f}s, {1e3*dt/NUM_ITERS:.2f} ms/it)")
+    return losses
+
+
 def main():
     loss_fn, init = make_problem(jax.random.key(0))
 
     # SGD baseline: diverges easily above lr=1e-4 on this problem
     run("SGD", optax.sgd(1e-4), loss_fn, list(init))
+
+    run_lbfgs(loss_fn, list(init))
 
     run("DenseNewton",
         popt.dense_newton(learning_rate=0.2, lr_preconditioner=0.5,

@@ -16,8 +16,11 @@ FLOP-bound.  The subspace-iteration norm bounds use the in-kernel PRNG
 (pltpu.prng_*).
 
 Constraints: real dtypes (fp32/bf16 inputs, fp32 compute), n a multiple of
-128 and small enough for VMEM (n <= 2048); callers fall back to the plain
-XLA path otherwise (precond.kron does this automatically).
+128 and small enough for VMEM (n <= 1024: the kernel holds ~6 n x n fp32
+intermediates, ~25 MB at n = 1024; n = 2048 exceeds the ~100 MB VMEM budget
+and fails to compile); callers fall back to the plain XLA path otherwise
+(precond.kron does this automatically; tests/test_pallas_kernels.py checks
+the fallback).
 """
 
 from __future__ import annotations
@@ -191,7 +194,7 @@ def ns_update_supported(n: int, dtype) -> bool:
         return False
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
         return False
-    return n % 128 == 0 and 128 <= n <= 2048
+    return n % 128 == 0 and 128 <= n <= 1024
 
 
 # ---------------------------------------------------------------------------

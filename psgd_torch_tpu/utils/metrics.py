@@ -1,0 +1,116 @@
+"""Optimizer-health metrics for PSGD state (observability the reference
+lacks entirely — its only diagnostics are stdout advisories, SURVEY.md §5).
+
+``psgd_metrics(state)`` extracts jit-friendly scalar summaries from any
+PSGDState (plain, chained, Kron/LRA/dense, sharded or stacked):
+
+  * per-factor Lipschitz estimates L (their max tracks curvature scale and
+    exposes a diverging fit),
+  * Q-factor magnitude extrema (over/underflow watch — the reason the
+    balancing gate exists),
+  * update statistics when given the emitted updates (global RMS, max |u|:
+    the amp-clip engagement signal).
+
+Everything is computed inside jit and returned as a flat {name: scalar}
+dict — feed it to any logger:
+
+    updates, state = opt.update(grads, state, params)
+    metrics = psgd_metrics(state, updates)
+    ...
+    host_log({k: float(v) for k, v in metrics.items()})  # outside jit
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _is_kron_like(x) -> bool:
+    return hasattr(x, "q") and hasattr(x, "lips")
+
+
+def _named_precond_states(precond, prefix="leaf"):
+    if _is_kron_like(precond):
+        yield prefix, precond
+    elif isinstance(precond, (tuple, list)):
+        for i, st in enumerate(precond):
+            yield from _named_precond_states(st, f"{prefix}{i}")
+    elif hasattr(precond, "_fields"):  # LRA / dense / legacy NamedTuples
+        yield prefix, precond
+
+
+def psgd_metrics(state: Any, updates: Optional[Any] = None,
+                 per_leaf: bool = False) -> Dict[str, jax.Array]:
+    """Scalar health metrics from a PSGD optimizer state.
+
+    Accepts a PSGDState or an optax.chain state containing one.  With
+    ``per_leaf=True`` adds per-leaf L/|Q| entries (otherwise only global
+    aggregates).  Safe inside jit."""
+    from ..optim.transforms import PSGDState
+
+    def find(st):
+        if isinstance(st, PSGDState):
+            return st
+        if isinstance(st, (tuple, list)):
+            for s in st:
+                r = find(s)
+                if r is not None:
+                    return r
+        return None
+
+    ps = find(state)
+    out: Dict[str, jax.Array] = {}
+    if ps is None:
+        return out
+    out["step"] = ps.count
+
+    lips_all, qmax_all, qmin_all = [], [], []
+    for name, st in _named_precond_states(ps.precond):
+        leaf_lips, leaf_qmax, leaf_qmin = [], [], []
+        for f in jax.tree_util.tree_leaves(getattr(st, "lips", ())):
+            leaf_lips.append(jnp.max(jnp.real(f).astype(jnp.float32)))
+        for f in jax.tree_util.tree_leaves(getattr(st, "q", ())):
+            a = jnp.abs(f).astype(jnp.float32)
+            leaf_qmax.append(jnp.max(a))
+            leaf_qmin.append(jnp.min(jnp.max(
+                a.reshape(-1, a.shape[-1]), axis=-1)))
+        # LRA/dense-style states without .q: summarize every array field
+        if not leaf_qmax:
+            for f in jax.tree_util.tree_leaves(st):
+                a = jnp.abs(f).astype(jnp.float32)
+                leaf_qmax.append(jnp.max(a))
+        if leaf_lips:
+            lips_all.append(jnp.stack(leaf_lips).max())
+            if per_leaf:
+                out[f"L_max/{name}"] = lips_all[-1]
+        if leaf_qmax:
+            qmax_all.append(jnp.stack(leaf_qmax).max())
+            if per_leaf:
+                out[f"q_abs_max/{name}"] = qmax_all[-1]
+        if leaf_qmin:
+            qmin_all.append(jnp.stack(leaf_qmin).min())
+
+    if lips_all:
+        out["L_max"] = jnp.stack(lips_all).max()
+    if qmax_all:
+        out["q_abs_max"] = jnp.stack(qmax_all).max()
+    if qmin_all:
+        out["q_rowmax_min"] = jnp.stack(qmin_all).min()
+
+    if ps.mu is not None:
+        sq = sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                 for x in jax.tree_util.tree_leaves(ps.mu))
+        n = sum(x.size for x in jax.tree_util.tree_leaves(ps.mu))
+        out["momentum_rms"] = jnp.sqrt(sq / n)
+
+    if updates is not None:
+        leaves = jax.tree_util.tree_leaves(updates)
+        sq = sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves)
+        n = sum(x.size for x in leaves)
+        out["update_rms"] = jnp.sqrt(sq / n)
+        out["update_abs_max"] = jnp.stack(
+            [jnp.max(jnp.abs(x).astype(jnp.float32)) for x in leaves]).max()
+    return out

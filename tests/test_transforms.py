@@ -251,3 +251,34 @@ def test_hyperparameter_schedules():
     for _ in range(500):
         params, state = step(params, state)
     assert float(loss_fn(params)) < 1e-4
+
+
+def test_psgd_metrics():
+    """Observability: psgd_metrics extracts jit-safe health scalars from
+    plain, chained, momentum, and LRA states (SURVEY.md §5 gap upstream)."""
+    import psgd_torch_tpu.optim as popt
+    from psgd_torch_tpu.utils import psgd_metrics
+
+    p = {"w": jnp.zeros((8, 4)), "b": jnp.zeros((4,))}
+    g = jax.tree_util.tree_map(lambda x: jnp.ones_like(x) * 0.1, p)
+    opt = popt.kron_whiten(learning_rate=1e-3, momentum=0.9,
+                           preconditioner_init_scale=1.0)
+    state = opt.init(p)
+
+    @jax.jit
+    def step(g, s):
+        u, s = opt.update(g, s)
+        return u, s, psgd_metrics(s, u, per_leaf=True)
+
+    u, state, m = step(g, state)
+    u, state, m = step(g, state)
+    assert float(m["step"]) == 2
+    assert float(m["L_max"]) > 0 and float(m["q_abs_max"]) > 0
+    assert float(m["update_rms"]) > 0 and float(m["momentum_rms"]) > 0
+    assert any(k.startswith("L_max/") for k in m)
+
+    opt2 = popt.lra_whiten(learning_rate=1e-3)
+    s2 = opt2.init(p)
+    u2, s2 = jax.jit(opt2.update)(g, s2)
+    m2 = psgd_metrics(s2, u2)
+    assert "update_rms" in m2 and float(m2["step"]) == 1
