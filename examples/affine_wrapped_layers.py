@@ -28,6 +28,7 @@ import optax
 
 from psgd_torch_tpu.models import lenet5, rnn
 from psgd_torch_tpu.optim import legacy_transforms as lt
+from psgd_torch_tpu.optim.hvp import make_hvp_fn
 
 
 def run_lenet5(iters: int, batch: int):
@@ -76,16 +77,20 @@ def run_rnn(iters: int, batch: int, seq_len: int):
     def loss_fn(params, xs, target):
         return rnn.xor_loss(rnn.apply_rnn(params, xs), target)
 
-    # reference settings: lr_params=0.01, lr_preconditioner=0.01, batch 128,
-    # seq_len 16, up to 100k iterations (affine_wrapping_VF_rnn_tanh.py:153,187)
-    opt = lt.affine(learning_rate=0.01, preconditioner_type="whitening",
-                    lr_preconditioner=0.01, grad_clip_max_norm=10.0)
+    # reference settings (affine_wrapping_VF_rnn_tanh.py:153,186-189):
+    # NEWTON-type Affine (the class default), lr_params=0.01,
+    # grad_clip_max_norm=1.0, batch 128, seq 16, up to 100k iterations.
+    # The whitening variant plateaus at the XOR wall; curvature breaks it.
+    opt = lt.affine(learning_rate=0.01, preconditioner_type="Newton",
+                    lr_preconditioner=0.01, grad_clip_max_norm=1.0)
     params, state = params0, opt.init(params0)
 
     @jax.jit
     def step(params, state, xs, target):
         loss, grads = jax.value_and_grad(loss_fn)(params, xs, target)
-        updates, state = opt.update(grads, state, params)
+        updates, state = opt.update(
+            grads, state, params,
+            hvp_fn=make_hvp_fn(loss_fn, xs, target))
         return optax.apply_updates(params, updates), state, loss
 
     lv = float("nan")

@@ -687,6 +687,72 @@ _NEWTON_UPDATES = {
 }
 
 
+def update_kron_whiten_eq_exact(state: KronState, plan: KronPlan,
+                                g: jax.Array, key: jax.Array, lr: float = 0.1,
+                                beta_l: float = 0.9,
+                                step_normalizer: str = "2nd") -> KronState:
+    """EQ-geometry whitening with v analytically integrated out via EXPLICIT
+    triangular inverses — the old Kron class's V=None path
+    (reference preconditioned...py:2040-2070): term2_i =
+    prod_{j!=i} tr(invQ_j^H invQ_j) * (invQ_i^H invQ_i).
+
+    Fully deterministic (no probe noise; the only PRNG use is the prob-0.01
+    balancing gate), at the cost of one triangular inverse per dense factor
+    — a compatibility mode on TPU, like EQ itself.  The new-API whiten
+    family supersedes this with the scale-free analytic term2
+    (psgd.py:379-385); kept for exact old-class parity."""
+    q = list(_maybe_balance(state.q, key))
+    a = jnp.einsum(plan.subs_a, *q, g)
+
+    inv_q = []
+    for f in q:
+        if f.ndim < 2:
+            inv_q.append(1.0 / f)
+        else:
+            eye = jnp.eye(f.shape[0], dtype=lift2single(f).dtype)
+            sol = jax.lax.linalg.triangular_solve(
+                lift2single(f), eye, left_side=True, lower=False)
+            inv_q.append(sol.astype(f.dtype))
+    ihih = [jnp.conj(f) * f if f.ndim < 2 else jnp.conj(f.T) @ f
+            for f in inv_q]
+    traces = [jnp.sum(f) if f.ndim < 2 else jnp.trace(f) for f in ihih]
+
+    new_q, new_l = [], []
+    for i, f in enumerate(q):
+        term1 = jnp.einsum(plan.subs_gs[i], a, jnp.conj(a))
+        term2 = ihih[i]
+        for j, tr in enumerate(traces):
+            if j != i:
+                term2 = term2 * tr
+        if f.ndim < 2:
+            if step_normalizer == "2nd":
+                ell = jnp.max(jnp.abs(term1 + term2))
+                lip = _update_lips(state.lips[i], ell, beta_l)
+                fq = f - _coeff(lr, lip, f.dtype) * (term1 - term2) * f
+            else:
+                grad = term1 - term2
+                lip = state.lips[i]
+                den = jnp.max(jnp.abs(grad)).astype(real_dtype_of(f.dtype))
+                fq = f - (lr / (den + 1e-38)).astype(
+                    real_dtype_of(f.dtype)) * grad * f
+        else:
+            from ..ops.linalg import norm_lower_bound
+            if step_normalizer == "2nd":
+                ell = norm_lower_bound(term1 + term2)
+                lip = _update_lips(state.lips[i], ell, beta_l)
+                fq = f - _coeff(lr, lip, f.dtype) * (
+                    jnp.triu(term1 - term2) @ f)
+            else:
+                grad = jnp.triu(term1 - term2)
+                lip = state.lips[i]
+                den = norm_lower_bound(grad).astype(real_dtype_of(f.dtype))
+                fq = f - (lr / (den + 1e-38)).astype(
+                    real_dtype_of(f.dtype)) * (grad @ f)
+        new_q.append(fq)
+        new_l.append(lip)
+    return KronState(q=tuple(new_q), lips=tuple(new_l))
+
+
 # ---------------------------------------------------------------------------
 # Stacked (layer-batched) updates.
 #

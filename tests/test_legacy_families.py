@@ -280,3 +280,61 @@ def test_legacy_uvd_fixed_point(normalizer):
     err = _rel_err(lambda g: legacy.precond_grad_uvd(state, g), h_apply,
                    (n,), root)
     assert err < 0.2, f"uvd/{normalizer}: {err}"
+
+
+def test_affine_matmul_vs_einsum_equivalence():
+    """Implementation-equivalence check (reference
+    misc/psgd_affine_matmul_vs_einsum.py:29-77): the library's matmul-based
+    affine update must equal an independently written einsum formulation of
+    the same math, on the dense x dense branch (precond/affine.py:146-160),
+    and the apply must equal kron(conj(Qr), Ql)-as-einsum."""
+    from psgd_torch_tpu.precond import affine as affine_p
+    from psgd_torch_tpu.precond.affine import AffineState
+    from psgd_torch_tpu.ops.linalg import norm_lower_bound
+
+    m, n = 10, 14
+    key = jax.random.key(0)
+    st = AffineState(
+        ql=jnp.triu(0.1 * jax.random.normal(jax.random.fold_in(key, 1),
+                                            (m, m))) + jnp.eye(m),
+        qr=jnp.triu(0.1 * jax.random.normal(jax.random.fold_in(key, 2),
+                                            (n, n))) + jnp.eye(n))
+    dx = jax.random.normal(jax.random.fold_in(key, 3), (m, n))
+    dg = jax.random.normal(jax.random.fold_in(key, 4), (m, n))
+    bal_key = jax.random.fold_in(key, 5)
+
+    got = affine_p.update_affine(st, dx, dg, bal_key, lr=0.05,
+                                 step_normalizer="2nd")
+
+    # independent einsum formulation (fp64 test dtype: tri solves exact)
+    ql, qr = st.ql, st.qr  # balance gate fires w.p. 0.01; same key -> same draw
+    u = float(jax.random.uniform(bal_key))
+    assert u >= 0.01  # deterministic: gate did not fire for this key
+    a = jnp.einsum("ia,ab,cb->ic", ql, dg, jnp.conj(qr))
+    inv_ql = jnp.linalg.inv(ql)
+    inv_qr = jnp.linalg.inv(qr)
+    bh = jnp.einsum("ai,ab,bc->ic", jnp.conj(inv_ql), dx, inv_qr)
+    aah = jnp.einsum("ij,kj->ik", a, jnp.conj(a))
+    bhb = jnp.einsum("ij,kj->ik", bh, jnp.conj(bh))
+    aha = jnp.einsum("ji,jk->ik", jnp.conj(a), a)
+    bbh = jnp.einsum("ji,jk->ik", jnp.conj(bh), bh)
+    grad1 = jnp.triu(aah - bhb)
+    grad2 = jnp.triu(aha - bbh)
+    tiny = 1.2e-38
+    s1 = 0.05 / (float(norm_lower_bound(aah + bhb)) + tiny)
+    s2 = 0.05 / (float(norm_lower_bound(aha + bbh)) + tiny)
+    want_ql = ql - s1 * jnp.einsum("ij,jk->ik", grad1, ql)
+    want_qr = qr - s2 * jnp.einsum("ij,jk->ik", grad2, qr)
+
+    np.testing.assert_allclose(np.asarray(got.ql), np.asarray(want_ql),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.qr), np.asarray(want_qr),
+                               rtol=1e-9, atol=1e-12)
+
+    # apply: precond_grad == einsum of P = kron(conj(Qr), Ql)^H kron(...) g
+    g = jax.random.normal(jax.random.fold_in(key, 6), (m, n))
+    got_pg = affine_p.precond_grad_affine(st, g)
+    want_pg = jnp.einsum(
+        "li,lk,ka,jb,ja->ib", jnp.conj(ql), ql, g, jnp.conj(qr), qr)
+    np.testing.assert_allclose(np.asarray(got_pg), np.asarray(want_pg),
+                               rtol=1e-9, atol=1e-12)
