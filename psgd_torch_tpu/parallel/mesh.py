@@ -35,25 +35,55 @@ from ..precond.kron import KronState
 
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Sequence[str] = ("dp", "fsdp", "tp"),
-              devices=None) -> Mesh:
+              devices=None,
+              axis_sizes: Optional[Sequence[int]] = None) -> Mesh:
     """Build a mesh over the first n_devices devices.
 
-    The device count is factored greedily from the last axis (tp) backwards:
-    e.g. 8 devices -> (dp=1, fsdp=4, tp=2); 4 -> (1, 2, 2); 1 -> (1, 1, 1).
-    Layout keeps tp innermost so tensor-parallel collectives ride the
-    fastest ICI links.
-    """
+    ``axis_sizes`` pins the factorization explicitly (must multiply to the
+    device count).  Without it the count is factored greedily from the last
+    axis (tp) backwards: e.g. 8 devices -> (dp=1, fsdp=4, tp=2);
+    4 -> (1, 2, 2); 1 -> (1, 1, 1) — tp innermost so tensor-parallel
+    collectives ride the fastest links.
+
+    On real TPU backends the device-to-mesh assignment goes through
+    ``mesh_utils.create_device_mesh``, which reads the physical torus
+    coordinates (v4/v5p 3D torus, v5e/v6e 2D) and lays consecutive mesh
+    columns along physically adjacent chips — the difference between tp
+    collectives riding one ICI hop or wrapping the torus.  On CPU/mocked
+    device lists it falls back to a plain row-major reshape (deterministic
+    for tests)."""
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
-    sizes = [1] * len(axis_names)
-    # give tp up to 2, fsdp the bulk, dp the rest
-    remaining = n
-    if len(axis_names) >= 3 and remaining % 2 == 0 and remaining >= 4:
-        sizes[-1] = 2
-        remaining //= 2
-    sizes[-2 if len(axis_names) >= 2 else -1] = remaining
+    if axis_sizes is not None:
+        sizes = [int(s) for s in axis_sizes]
+        if len(sizes) != len(axis_names):
+            raise ValueError(f"axis_sizes {sizes} does not match axis_names "
+                             f"{tuple(axis_names)}")
+        prod = 1
+        for s in sizes:
+            prod *= s
+        if prod != n:
+            raise ValueError(f"axis_sizes {sizes} multiply to {prod}, "
+                             f"but {n} devices are available")
+    else:
+        sizes = [1] * len(axis_names)
+        # give tp up to 2, fsdp the bulk, dp the rest
+        remaining = n
+        if len(axis_names) >= 3 and remaining % 2 == 0 and remaining >= 4:
+            sizes[-1] = 2
+            remaining //= 2
+        sizes[-2 if len(axis_names) >= 2 else -1] = remaining
+
+    if n > 1 and all(getattr(d, "platform", None) == "tpu" for d in devices):
+        try:
+            from jax.experimental import mesh_utils
+            mesh_devices = mesh_utils.create_device_mesh(
+                tuple(sizes), devices=devices)
+            return Mesh(mesh_devices, tuple(axis_names))
+        except Exception:
+            pass  # unusual slice shapes: fall back to row-major
     mesh_devices = np.array(devices).reshape(sizes)
     return Mesh(mesh_devices, tuple(axis_names))
 

@@ -469,3 +469,17 @@ def test_dim_sharded_wte_real_layout_beats_gspmd():
     print(f"wte (tp,fsdp) 8-way: gspmd {eff_g:.2%}, factor {eff_f:.2%}")
     assert eff_f > 0.8, f"factor-sharded wte efficiency {eff_f:.2%}"
     assert eff_f > eff_g + 0.2, (eff_f, eff_g)
+
+
+def test_make_mesh_axis_sizes_override():
+    mesh = make_mesh(8, axis_names=("dp", "fsdp", "tp"), axis_sizes=(2, 2, 2))
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "dp": 2, "fsdp": 2, "tp": 2}
+    with pytest.raises(ValueError):
+        make_mesh(8, axis_names=("dp", "fsdp"), axis_sizes=(3, 2))
+    with pytest.raises(ValueError):
+        make_mesh(8, axis_names=("dp", "fsdp"), axis_sizes=(2, 2, 2))
+    # default factorization unchanged (tests and examples rely on it)
+    mesh = make_mesh(8)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "dp": 1, "fsdp": 4, "tp": 2}
