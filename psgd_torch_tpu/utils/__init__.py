@@ -1,5 +1,6 @@
 """Utilities: checkpointing (orbax), profiling, observability."""
 
 from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
-from .metrics import psgd_metrics
+from .metrics import psgd_metrics  # noqa: F401
+# torch_interop is intentionally NOT imported here: torch is optional
 from .profiling import StepTimer, trace
