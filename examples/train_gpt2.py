@@ -1,8 +1,10 @@
 """Train GPT-2 with PSGD Kron momentum-whitening vs AdamW (parity with
-reference misc/gpt2.py: same optimizer settings, synthetic LM data in place
-of WikiText-103 — no dataset egress in this environment).
+reference misc/gpt2.py: same optimizer settings; the committed real-text
+corpus data/corpus.txt.gz by default in place of WikiText-103 — no dataset
+egress in this environment; --data synthetic for the mixing-rule stream).
 
-Run:  python examples/train_gpt2.py [--steps N] [--model tiny|124m] [--opt psgd|adamw]
+Run:  python examples/train_gpt2.py [--steps N] [--model tiny|124m]
+      [--opt psgd|adamw] [--data corpus|synthetic]
 """
 
 import os
@@ -28,6 +30,7 @@ def main():
     ap.add_argument("--model", default="tiny", choices=["tiny", "124m"])
     ap.add_argument("--opt", default="psgd", choices=["psgd", "adamw"])
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--data", default="corpus", choices=["corpus", "synthetic"])
     args = ap.parse_args()
 
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -36,6 +39,18 @@ def main():
 
     key = jax.random.key(0)
     params = gpt2.init_gpt2(key, cfg)
+    if args.data == "corpus":
+        from psgd_torch_tpu.models import lm_data
+        train_toks, _, vocab_used = lm_data.load_tokens(cfg.vocab_size)
+        print(f"corpus: {train_toks.size/1e6:.2f}M tokens, vocab {vocab_used}")
+
+        def batch_fn(k):
+            return lm_data.corpus_batch(k, train_toks, args.batch,
+                                        cfg.block_size)
+    else:
+        def batch_fn(k):
+            return gpt2.synthetic_lm_batch(k, args.batch, cfg.block_size,
+                                           cfg.vocab_size)
     print(f"{gpt2.count_params(params)/1e6:.1f}M params, "
           f"block {cfg.block_size}, device {jax.devices()[0]}")
 
@@ -70,9 +85,7 @@ def main():
     timer = StepTimer()
     timer.start()
     for i in range(args.steps):
-        tokens, targets = gpt2.synthetic_lm_batch(
-            jax.random.fold_in(key, 10_000 + i), args.batch, cfg.block_size,
-            cfg.vocab_size)
+        tokens, targets = batch_fn(jax.random.fold_in(key, 10_000 + i))
         params, state, loss = step(params, state, tokens, targets)
         lv = float(loss)  # force host sync so the timer is honest
         timer.mark()
