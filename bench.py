@@ -274,7 +274,7 @@ def main():
     print(json.dumps(result), flush=True)
 
 
-def convergence(n_steps: int = 1000):
+def convergence(n_steps: int = 1000, data_seed: int = 1):
     """`python bench.py --convergence [steps]`: train GPT-2 with AdamW and
     PSGD-Kron at the reference's matched settings (misc/gpt2.py:400-413;
     PSGD lr = Adam lr / sqrt((1+beta)/(1-beta)) = 1e-3/4) on the committed
@@ -322,7 +322,7 @@ def convergence(n_steps: int = 1000):
         params, tail, curve = params0, [], []
         for i in range(n_steps):
             tokens, targets = lm_data.corpus_batch(
-                jax.random.fold_in(jax.random.key(1), i), train_toks,
+                jax.random.fold_in(jax.random.key(data_seed), i), train_toks,
                 batch, cfg.block_size)
             params, state, loss = step(params, state, tokens, targets)
             if i % max(n_steps // 20, 1) == 0:
@@ -364,6 +364,7 @@ def convergence(n_steps: int = 1000):
                    "data": "real text (data/corpus.txt.gz: license prose + "
                            "open-source python sources; WikiText-103 "
                            "unavailable without egress)",
+                   "data_seed": data_seed,
                    "adamw_train_loss": round(l_adamw, 4),
                    "psgd_train_loss": round(l_psgd, 4),
                    "adamw_val_loss": round(v_adamw, 4),
@@ -377,6 +378,10 @@ def convergence(n_steps: int = 1000):
 if __name__ == "__main__":
     if "--convergence" in sys.argv:
         extra = [a for a in sys.argv[1:] if a.isdigit()]
-        convergence(int(extra[0]) if extra else 1000)
+        seed = 1
+        for a in sys.argv[1:]:
+            if a.startswith("--seed="):
+                seed = int(a.split("=", 1)[1])
+        convergence(int(extra[0]) if extra else 1000, data_seed=seed)
     else:
         main()
