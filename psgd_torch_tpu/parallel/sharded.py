@@ -265,29 +265,35 @@ def _per_shard_core(
                 if preconditioner_init_scale is None:
                     # on-the-fly init: per-leaf global scale, one pmean over
                     # the leaf's sharded axes (reference class recipe,
-                    # psgd.py:599-602 / :940-943 per tensor)
-                    if mode == "newton":
-                        v2 = jnp.mean(jnp.abs(
-                            v_loc.astype(jnp.float32)) ** 2)
-                        h4 = jnp.mean(jnp.abs(
-                            h_loc.astype(jnp.float32)) ** 4)
-                        if all_axes:
-                            v2 = jax.lax.pmean(v2, all_axes)
-                            h4 = jax.lax.pmean(h4, all_axes)
-                        scale = v2 ** 0.25 * (h4 + damping ** 4) ** (-1 / 8)
-                    else:
-                        m4 = jnp.mean(jnp.abs(
-                            fit_loc.astype(jnp.float32)) ** 4)
-                        if all_axes:
-                            m4 = jax.lax.pmean(m4, all_axes)
-                        scale = (m4 + damping ** 4) ** (-1 / 8)
-                    eff = scale * scale if plan.fits_p else scale
-                    order = max(plan.order, 1)
-                    mult = jnp.where(count == 0, eff ** (1.0 / order), 1.0)
-                    inner = kron_p.KronState(
-                        q=tuple(f * mult.astype(
-                            jnp.real(f).dtype) for f in inner.q),
-                        lips=inner.lips)
+                    # psgd.py:599-602 / :940-943 per tensor).  Gated on
+                    # count == 0 so the collective only runs at step 0
+                    # (count is replicated -> all devices take one branch).
+                    def rescale(s):
+                        if mode == "newton":
+                            v2 = jnp.mean(jnp.abs(
+                                v_loc.astype(jnp.float32)) ** 2)
+                            h4 = jnp.mean(jnp.abs(
+                                h_loc.astype(jnp.float32)) ** 4)
+                            if all_axes:
+                                v2 = jax.lax.pmean(v2, all_axes)
+                                h4 = jax.lax.pmean(h4, all_axes)
+                            scale = v2 ** 0.25 * (h4 + damping ** 4) ** (-1 / 8)
+                        else:
+                            m4 = jnp.mean(jnp.abs(
+                                fit_loc.astype(jnp.float32)) ** 4)
+                            if all_axes:
+                                m4 = jax.lax.pmean(m4, all_axes)
+                            scale = (m4 + damping ** 4) ** (-1 / 8)
+                        eff = scale * scale if plan.fits_p else scale
+                        order = max(plan.order, 1)
+                        mult = eff ** (1.0 / order)
+                        return kron_p.KronState(
+                            q=tuple(f * mult.astype(
+                                jnp.real(f).dtype) for f in s.q),
+                            lips=s.lips)
+
+                    inner = jax.lax.cond(count == 0, rescale, lambda s: s,
+                                         inner)
 
                 def fit(s):
                     if mode == "newton":
