@@ -78,12 +78,11 @@ def unit_noise_stacked(keys: jax.Array, shape, dtype) -> jax.Array:
     per-layer loop — measured ~26 us/launch x n_layer; this is one launch).
     """
     dtype = jnp.dtype(dtype)
-    from .pallas_kernels import unit_noise as pallas_noise, \
-        unit_noise_supported
+    from .pallas_kernels import key_seed_words, \
+        unit_noise as pallas_noise, unit_noise_supported
     if (fast_noise_enabled() and unit_noise_supported(shape, dtype)
             and jax.default_backend() == "tpu"):
-        seeds = jax.vmap(
-            lambda k: jax.random.randint(k, (), 0, 2 ** 31 - 1))(keys)
+        seeds = key_seed_words(keys)
         c = shape[-1]
         r = 1
         for s in shape[:-1]:

@@ -56,6 +56,20 @@ def lift2single(x: jax.Array) -> jax.Array:
     return x
 
 
+def resolve_norm_k(norm_k, dtype) -> int:
+    """Resolve the subspace dimension for the norm lower bounds.
+
+    The reference recommends k=32 for fp32 but k=128 for bf16/half Q
+    (psgd.py:48-49): the bound's bias grows with dtype noise, and a weak
+    bound destabilizes the Q step.  ``norm_k=None`` (the transforms'
+    default) picks automatically from the preconditioner dtype; an explicit
+    integer is respected as-is.
+    """
+    if norm_k is not None:
+        return int(norm_k)
+    return 128 if jnp.finfo(real_dtype_of(dtype)).eps > 1e-6 else 32
+
+
 def sgn(x: jax.Array) -> jax.Array:
     """Complex-safe sign: x/|x| with sgn(0) = 0.
 

@@ -91,7 +91,7 @@ def _ns_kernel(seed_ref, *refs, max_step: float, k: int,
          q_out_ref, lips_out_ref) = refs
         step_ref = ell_ref
     i = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[i])
+    pltpu.prng_seed(seed_ref[i, 0], seed_ref[i, 1])
     tiny = 1e-30
     lr = lr_ref[0]
     beta_l = bl_ref[0]
@@ -146,7 +146,8 @@ def fused_ns_update(term1: jax.Array, q: jax.Array, lips: jax.Array,
       lips:  (B,) float32 L-constants.
       term2: (B,) float32 scalar subtracted as term2*I in the step
              (whiten: numel/n; Newton: 0).
-      seed:  (B,) int32 PRNG seeds.
+      seed:  (B, 2) int32 PRNG seed words (both words of the caller's key —
+             see key_seed_words — so the full 64-bit key space is used).
       step_mat: optional (B, n, n) step matrix when it differs from term1
              (Newton: term1 - term2_mat).
       lr, beta_l: python floats or traced scalars (schedule-compatible).
@@ -228,14 +229,28 @@ def _uniform_from_bits(bits):
 def _noise_kernel(seed_ref, o_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    pltpu.prng_seed(seed_ref[i], j)
+    pltpu.prng_seed(seed_ref[i, 0], seed_ref[i, 1], j)
     bits = pltpu.prng_random_bits(o_ref.shape[1:])
     o_ref[0] = _uniform_from_bits(bits).astype(o_ref.dtype)
 
 
+def key_seed_words(keys: jax.Array) -> jax.Array:
+    """(..., 2) int32 hardware-PRNG seed words from PRNG keys: the raw key
+    data itself (threefry keys are exactly 2x uint32), so the effective seed
+    space is the full 64-bit key — no 31-bit birthday collisions over long
+    runs — and deriving it costs no PRNG work at all."""
+    data = jax.random.key_data(keys)
+    if data.shape[-1] >= 2:
+        d2 = data[..., :2]
+    else:
+        d2 = jnp.concatenate([data, data], axis=-1)
+    return jax.lax.bitcast_convert_type(d2.astype(jnp.uint32), jnp.int32)
+
+
 def unit_noise(seeds: jax.Array, r: int, c: int, dtype) -> jax.Array:
     """(B, r, c) zero-mean unit-variance noise; row i's stream is a pure
-    function of seeds[i].  TPU hardware PRNG, blocked over rows."""
+    function of seeds[i] (a 2-word int32 seed).  TPU hardware PRNG, blocked
+    over rows."""
     b = seeds.shape[0]
     # block rows: multiple of 8, <= ~8 MB fp32 per block (or the whole dim)
     rb = max(8, ((1 << 21) // c) // 8 * 8)

@@ -155,7 +155,7 @@ class KronWhiten(_ClosureOptimizer):
                  damping=1e-9, momentum=0.0, grad_clip_max_amps=(2.0, 10.0),
                  preconditioner_update_probability=1.0,
                  update_preconditioner_first=True, whiten_grad=True,
-                 dQ="Q0.5EQ1.5", preconditioner_dtype=None, norm_k=32,
+                 dQ="Q0.5EQ1.5", preconditioner_dtype=None, norm_k=None,
                  seed=0, scanned_layers=None):
         kwargs = dict(
             preconditioner_max_size=preconditioner_max_size,
@@ -184,7 +184,7 @@ class KronNewton(_ClosureOptimizer):
                  damping=1e-9, momentum=0.0, grad_clip_max_norm=float("inf"),
                  preconditioner_update_probability=1.0,
                  exact_hessian_vector_product=True, dQ="Q0.5EQ1.5",
-                 preconditioner_dtype=None, norm_k=32, seed=0,
+                 preconditioner_dtype=None, norm_k=None, seed=0,
                  scanned_layers=None):
         kwargs = dict(
             preconditioner_max_size=preconditioner_max_size,
@@ -272,7 +272,7 @@ class DenseNewton(_ClosureOptimizer):
                  grad_clip_max_norm=float("inf"),
                  preconditioner_update_probability=1.0,
                  exact_hessian_vector_product=True, dQ="Q0.5EQ1.5",
-                 preconditioner_dtype=None, norm_k=32, seed=0):
+                 preconditioner_dtype=None, norm_k=None, seed=0):
         kwargs = dict(
             preconditioner_init_scale=preconditioner_init_scale,
             lr_preconditioner=lr_preconditioner, betaL=betaL, damping=damping,

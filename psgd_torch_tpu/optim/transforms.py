@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..ops.linalg import real_dtype_of
+from ..ops.linalg import real_dtype_of, resolve_norm_k
 from ..precond import dense as dense_p
 from ..precond import kron as kron_p
 from ..precond import lra as lra_p
@@ -237,6 +237,43 @@ def _fit_apply_kron_leaf_layer_sharded(
     return fn(st, fit_src, apply_src, do_update)
 
 
+def _fit_apply_kron_leaf_layer_sharded_newton(
+        st, plan, key, mesh, axis, do_update, v_src, h_src, apply_src,
+        out_dtype, **fit_kw):
+    """Newton-mode analogue of _fit_apply_kron_leaf_layer_sharded: fit from
+    per-layer (v, h) shard views + apply, shard_mapped over the layer axis.
+    Newton always applies post-fit (reference KronNewton, psgd.py:945-965);
+    the global-norm clip runs at tree level outside."""
+    from jax.sharding import PartitionSpec as PS
+    n_total = v_src.shape[0]
+
+    def local(st_loc, v_loc, h_loc, apply_loc, do_update):
+        n_loc = v_loc.shape[0]
+        idx = jax.lax.axis_index(tuple(axis) if isinstance(axis, (tuple, list))
+                                 else axis)
+        keys = jax.lax.dynamic_slice_in_dim(
+            jax.random.split(key, n_total), idx * n_loc, n_loc)
+
+        def fit(s):
+            return kron_p.update_kron_newton_stacked(
+                s, plan, v_loc.reshape((n_loc,) + plan.shape),
+                h_loc.reshape((n_loc,) + plan.shape), keys, **fit_kw)
+
+        st_new = jax.lax.cond(do_update, fit, lambda s: s, st_loc)
+        pg = jax.vmap(lambda s, gg: kron_p.precond_grad(s, plan, gg))(
+            st_new, apply_loc.reshape((n_loc,) + plan.shape))
+        return st_new, pg.astype(out_dtype)
+
+    from ..utils.compat import shard_map
+    st_specs = _stacked_specs(st, axis)
+    lead = lambda x: PS(axis, *([None] * (x.ndim - 1)))
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(st_specs, lead(v_src), lead(h_src),
+                             lead(apply_src), PS()),
+                   out_specs=(st_specs, lead(apply_src)))
+    return fn(st, v_src, h_src, apply_src, do_update)
+
+
 def _squeeze_spec(shape, spec) -> Tuple[Tuple[str, ...], ...]:
     """Per-squeezed-dim tuple of mesh axes from a PartitionSpec (singleton
     dims dropped, like _squeezed_shape; sharding a singleton dim is a
@@ -287,11 +324,13 @@ def _dim_sharded_state_specs(plan, eff_axes):
 
 def _fit_apply_kron_leaf_dim_sharded(
         st, plan, key, mesh, dim_axes, do_update, fit_src, apply_src,
-        out_dtype, clip_amps, fit_first=True, **fit_kw):
+        out_dtype, clip_amps, fit_first=True, mode="whiten", **fit_kw):
     """Fit + apply for a dim-sharded non-stacked leaf under shard_map: one
     GLOBAL preconditioner, local contractions + psum, with mesh axes on
     dense dims re-sharded onto a diag dim by all_to_all (see
-    kron.update_kron_whiten_dim_sharded)."""
+    kron.update_kron_whiten_dim_sharded).  ``mode="newton"`` fits from a
+    (v, h) pair passed as ``fit_src`` and skips the amp clip (the Newton
+    transform clips by global norm at tree level)."""
     from jax.sharding import PartitionSpec as PS
     from ..utils.compat import shard_map
 
@@ -302,6 +341,20 @@ def _fit_apply_kron_leaf_dim_sharded(
     leaf_spec = PS(*[axes if axes else None for axes in dim_axes])
     state_specs = _dim_sharded_state_specs(plan, eff_axes)
     all_axes = tuple(ax for axes in dim_axes for ax in axes)
+
+    if mode == "newton":
+        def local(st_loc, v_loc, h_loc, apply_loc, do_update):
+            st_new, pg = kron_p.update_kron_newton_dim_sharded(
+                st_loc, plan, v_loc, h_loc, key, dim_axes, rplan, apply_loc,
+                do_update, fit_first=fit_first, **fit_kw)
+            return st_new, pg.astype(out_dtype)
+
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(state_specs, leaf_spec, leaf_spec,
+                                 leaf_spec, PS()),
+                       out_specs=(state_specs, leaf_spec), check_rep=False)
+        v_src, h_src = fit_src
+        return fn(st, v_src, h_src, apply_src, do_update)
 
     def local(st_loc, fit_loc, apply_loc, do_update):
         st_new, pg = kron_p.update_kron_whiten_dim_sharded(
@@ -366,7 +419,7 @@ def scale_by_kron_whiten(
     whiten_grad: bool = True,
     dq: str = "Q0.5EQ1.5",
     preconditioner_dtype: Any = None,
-    norm_k: int = 32,
+    norm_k: Optional[int] = None,
     seed: int = 0,
     scanned_layers: Any = None,
     stack_sharding: Optional[Tuple[Any, str]] = None,
@@ -439,8 +492,14 @@ def scale_by_kron_whiten(
 
         kron_states = list(state.precond)
         if preconditioner_init_scale is None:
-            scale = _whiten_scale_from_grads(
-                leaves, flags, _sched(damping, state.count))
+            # the |g|^4 sweep over every leaf is only needed once; gate it
+            # under lax.cond so step 1+ never executes it (it costs ~one HBM
+            # pass over the gradients per step otherwise)
+            scale = jax.lax.cond(
+                state.count == 0,
+                lambda: _whiten_scale_from_grads(
+                    leaves, flags, _sched(damping, state.count)),
+                lambda: jnp.ones((), jnp.float32))
             kron_states = _rescale_kron_if(state.count == 0, kron_states, plans, scale)
 
         # momentum EMA (bias-warmed)
@@ -503,7 +562,7 @@ def scale_by_kron_whiten(
                 out.append(_fit_kron_leaf(
                     st, plan, jax.random.fold_in(k_fit, i), f, "whiten",
                     g=src.astype(qdt), lr=lr_q, beta_l=beta_l_t,
-                    damping=damping_t, norm_k=norm_k))
+                    damping=damping_t, norm_k=resolve_norm_k(norm_k, qdt)))
             return tuple(out)
 
         def apply_all(states):
@@ -549,7 +608,7 @@ def scale_by_kron_whiten(
                     g.dtype, clip_amps,
                     fit_first=update_preconditioner_first,
                     lr=lr_q, beta_l=beta_l_t, damping=damping_t,
-                    norm_k=norm_k)
+                    norm_k=resolve_norm_k(norm_k, qdt))
                 states_t[i] = st_new
                 pre[i] = pg.reshape(g.shape)
             states_t = tuple(states_t)
@@ -570,7 +629,7 @@ def scale_by_kron_whiten(
                     g.dtype, clip_amps,
                     fit_first=update_preconditioner_first,
                     lr=lr_q, beta_l=beta_l_t, damping=damping_t,
-                    norm_k=norm_k)
+                    norm_k=resolve_norm_k(norm_k, qdt))
                 states_t[i] = st_new
                 pre[i] = pg.reshape(g.shape)
             states_t = tuple(states_t)
@@ -629,9 +688,11 @@ def scale_by_kron_newton(
     preconditioner_update_probability: float | Callable = 1.0,
     dq: str = "Q0.5EQ1.5",
     preconditioner_dtype: Any = None,
-    norm_k: int = 32,
+    norm_k: Optional[int] = None,
     seed: int = 0,
     scanned_layers: Any = None,
+    stack_sharding: Optional[Tuple[Any, str]] = None,
+    factor_sharding: Optional[Tuple[Any, Any]] = None,
 ) -> optax.GradientTransformationExtraArgs:
     """Kron Newton-type preconditioner fed by Hessian-vector products.
 
@@ -640,6 +701,13 @@ def scale_by_kron_newton(
     lax.cond — mirroring the update-probability gating of the reference,
     psgd.py:914) or explicit ``vs``/``hvs`` pytrees.  ``scanned_layers``
     marks layer-stacked leaves (see scale_by_kron_whiten).
+
+    ``stack_sharding=(mesh, axis)`` and ``factor_sharding=(mesh, specs)``
+    mirror scale_by_kron_whiten: stacked leaves fit + apply under an
+    explicit layer-axis shard_map (ZeRO-style Q partitioning), and
+    dim-sharded non-stacked leaves (embeddings) fit with local contractions
+    + psum on one global Q (Q0.5EQ1.5 only).  The fit source here is the
+    (v, Hvp) pair instead of the gradient.
     """
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
@@ -677,24 +745,34 @@ def scale_by_kron_newton(
         plans = _plans(leaves, flags)
 
         key, k_gate, k_v, k_fit = jax.random.split(state.key, 4)
+        lr_q = _sched(lr_preconditioner, state.count)
+        beta_l_t = _sched(betaL, state.count)
+        damping_t = _sched(damping, state.count)
 
-        def fit_all(states, v_leaves, h_leaves):
-            if preconditioner_init_scale is None:
-                scale = _newton_scale_from_vh(v_leaves, h_leaves, damping)
-                states = _rescale_kron_if(state.count == 0, states, plans, scale)
-            out = []
-            for i, (st, plan, f, v, h) in enumerate(
-                    zip(states, plans, flags, v_leaves, h_leaves)):
-                qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
-                out.append(_fit_kron_leaf(
-                    st, plan, jax.random.fold_in(k_fit, i), f, "newton",
-                    v=v.astype(qdt), h=h.astype(qdt),
-                    lr=_sched(lr_preconditioner, state.count),
-                    beta_l=_sched(betaL, state.count),
-                    damping=_sched(damping, state.count), norm_k=norm_k))
-            return tuple(out)
+        # leaves routed through explicit shard_map paths (see whiten)
+        layer_sharded = [
+            f and stack_sharding is not None and not all(p.is_diag)
+            for f, p in zip(flags, plans)]
+        dim_sharded = [None] * len(leaves)
+        if factor_sharding is not None:
+            fs_mesh, fs_specs = factor_sharding
+            from jax.sharding import PartitionSpec as _PS
+            spec_leaves = jax.tree_util.tree_leaves(
+                fs_specs, is_leaf=lambda x: isinstance(x, _PS))
+            if len(spec_leaves) != len(leaves):
+                raise ValueError("factor_sharding specs do not match params")
+            for i, (g, f, p, spec) in enumerate(
+                    zip(leaves, flags, plans, spec_leaves)):
+                if f or p.dq != kron_p.DQ_Q05EQ15:
+                    continue
+                axes = _squeeze_spec(g.shape, spec)
+                if any(axes):
+                    dim_sharded[i] = axes
+        routed = [ls or (ds is not None)
+                  for ls, ds in zip(layer_sharded, dim_sharded)]
 
-        states_t = tuple(state.precond)
+        # (v, h) pair: lazily drawn + evaluated under the update gate when
+        # hvp_fn drives it; explicit (vs, hvs) fit unconditionally
         if hvp_fn is not None:
             if params is None:
                 raise ValueError("kron_newton with hvp_fn requires params")
@@ -703,18 +781,51 @@ def scale_by_kron_newton(
                 < _sched(preconditioner_update_probability, state.count),
                 state.count == 0)
 
-            def fit_branch(states):
+            def draw_vh(_):
                 vs_ = rand_like_tree(k_v, params)
                 _, hvs_ = hvp_fn(params, vs_)
-                return fit_all(states, jax.tree_util.tree_leaves(vs_),
-                               jax.tree_util.tree_leaves(hvs_))
+                return vs_, hvs_
 
-            states_t = jax.lax.cond(pred, fit_branch, lambda s: s, states_t)
+            def no_vh(_):
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+                return zeros, zeros
+
+            vs, hvs = jax.lax.cond(pred, draw_vh, no_vh, None)
         elif vs is not None and hvs is not None:
-            states_t = fit_all(states_t, jax.tree_util.tree_leaves(vs),
-                               jax.tree_util.tree_leaves(hvs))
+            pred = jnp.asarray(True)
         else:
             raise ValueError("kron_newton requires hvp_fn or explicit (vs, hvs)")
+        v_leaves = jax.tree_util.tree_leaves(vs)
+        h_leaves = jax.tree_util.tree_leaves(hvs)
+
+        kron_states = list(state.precond)
+        if preconditioner_init_scale is None:
+            # count == 0 forces pred True, so (v, h) are real on step 0;
+            # gated like the whiten transform so step 1+ skips the sweep
+            scale = jax.lax.cond(
+                state.count == 0,
+                lambda: _newton_scale_from_vh(v_leaves, h_leaves, damping_t),
+                lambda: jnp.ones((), jnp.float32))
+            kron_states = _rescale_kron_if(state.count == 0, kron_states,
+                                           plans, scale)
+
+        def fit_unrouted(states):
+            out = []
+            for i, (st, plan, f, r, v, h) in enumerate(
+                    zip(states, plans, flags, routed, v_leaves, h_leaves)):
+                if r:
+                    out.append(st)  # handled by a fused sharded path
+                    continue
+                qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
+                out.append(_fit_kron_leaf(
+                    st, plan, jax.random.fold_in(k_fit, i), f, "newton",
+                    v=v.astype(qdt), h=h.astype(qdt),
+                    lr=lr_q, beta_l=beta_l_t, damping=damping_t,
+                    norm_k=resolve_norm_k(norm_k, qdt)))
+            return tuple(out)
+
+        states_t = jax.lax.cond(pred, fit_unrouted, lambda s: s,
+                                tuple(kron_states))
 
         if momentum > 0:
             mu = _ema_update(state.mu, updates, state.count, momentum)
@@ -723,11 +834,54 @@ def scale_by_kron_newton(
             mu, srcs = None, leaves
 
         pre = []
-        for st, plan, f, src, g in zip(states_t, plans, flags, srcs, leaves):
+        for st, plan, f, r, src, g in zip(states_t, plans, flags, routed,
+                                          srcs, leaves):
+            if r:
+                pre.append(None)  # filled by the sharded pass below
+                continue
             qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
             view = src.reshape(((src.shape[0],) if f else ()) + plan.shape)
             pg = _apply_kron_leaf(st, plan, view.astype(qdt), f)
             pre.append(pg.astype(g.dtype).reshape(g.shape))
+
+        if stack_sharding is not None and any(layer_sharded):
+            mesh_, axis_ = stack_sharding
+            states_t = list(states_t)
+            for i, (st, plan, ls, v, h, src, g) in enumerate(
+                    zip(states_t, plans, layer_sharded, v_leaves, h_leaves,
+                        srcs, leaves)):
+                if not ls:
+                    continue
+                qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
+                st_new, pg = _fit_apply_kron_leaf_layer_sharded_newton(
+                    st, plan, jax.random.fold_in(k_fit, i), mesh_, axis_,
+                    pred, v.astype(qdt), h.astype(qdt), src.astype(qdt),
+                    g.dtype, lr=lr_q, beta_l=beta_l_t, damping=damping_t,
+                    norm_k=resolve_norm_k(norm_k, qdt))
+                states_t[i] = st_new
+                pre[i] = pg.reshape(g.shape)
+            states_t = tuple(states_t)
+
+        if factor_sharding is not None and any(ds is not None
+                                               for ds in dim_sharded):
+            fs_mesh, _ = factor_sharding
+            states_t = list(states_t)
+            for i, (st, plan, ds, v, h, src, g) in enumerate(
+                    zip(states_t, plans, dim_sharded, v_leaves, h_leaves,
+                        srcs, leaves)):
+                if ds is None:
+                    continue
+                qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
+                st_new, pg = _fit_apply_kron_leaf_dim_sharded(
+                    st, plan, jax.random.fold_in(k_fit, i), fs_mesh, ds,
+                    pred, (v.astype(qdt), h.astype(qdt)), src.astype(qdt),
+                    g.dtype, None, mode="newton",
+                    lr=lr_q, beta_l=beta_l_t, damping=damping_t,
+                    norm_k=resolve_norm_k(norm_k, qdt))
+                states_t[i] = st_new
+                pre[i] = pg.reshape(g.shape)
+            states_t = tuple(states_t)
+
         scale = _global_norm_scale(pre, _sched(grad_clip_max_norm,
                                                state.count))
         pre = [p * scale for p in pre]
@@ -946,7 +1100,7 @@ def scale_by_dense_newton(
     preconditioner_update_probability: float | Callable = 1.0,
     dq: str = "Q0.5EQ1.5",
     preconditioner_dtype: Any = None,
-    norm_k: int = 32,
+    norm_k: Optional[int] = None,
     seed: int = 0,
 ) -> optax.GradientTransformationExtraArgs:
     dq = kron_p.canonical_dq(dq)
@@ -985,7 +1139,8 @@ def scale_by_dense_newton(
                 s, v_vec.astype(qdt), h_vec.astype(qdt), k_fit, dq,
                 lr=_sched(lr_preconditioner, state.count),
                 beta_l=_sched(betaL, state.count),
-                damping=_sched(damping, state.count), norm_k=norm_k)
+                damping=_sched(damping, state.count),
+                norm_k=resolve_norm_k(norm_k, qdt))
 
         if hvp_fn is not None:
             if params is None:

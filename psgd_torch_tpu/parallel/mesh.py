@@ -82,8 +82,13 @@ def make_mesh(n_devices: Optional[int] = None,
             mesh_devices = mesh_utils.create_device_mesh(
                 tuple(sizes), devices=devices)
             return Mesh(mesh_devices, tuple(axis_names))
-        except Exception:
-            pass  # unusual slice shapes: fall back to row-major
+        except Exception as e:  # unusual slice shapes: fall back to row-major
+            import warnings
+            warnings.warn(
+                f"mesh_utils.create_device_mesh{tuple(sizes)} failed "
+                f"({e!r}); falling back to row-major device order. "
+                "Collectives may cross more ICI hops than the "
+                "topology-aware layout.", stacklevel=2)
     mesh_devices = np.array(devices).reshape(sizes)
     return Mesh(mesh_devices, tuple(axis_names))
 
@@ -198,6 +203,15 @@ def psgd_state_specs(param_specs: Any, state: PSGDState,
         param_specs, is_leaf=lambda x: isinstance(x, PS))
     shape_leaves = (jax.tree_util.tree_leaves(factor_sharding_params)
                     if factor_sharding_params is not None else None)
+    if shape_leaves is not None and mesh is None:
+        import warnings
+        warnings.warn(
+            "psgd_state_specs(factor_sharding_params=...) without mesh=: "
+            "specs use the raw per-dim axes instead of the transform's "
+            "compute layout (dense-dim axes moved onto a diag dim by "
+            "dim_shard_reshard_plan), so GSPMD will silently reshard the "
+            "dim-sharded Q state every step. Pass mesh= to match the "
+            "compute layout.", stacklevel=2)
 
     def stacked_kron(ks: KronState) -> KronState:
         return KronState(

@@ -41,6 +41,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as PS
 
 from ..utils.compat import shard_map
+from ..ops.linalg import resolve_norm_k
 from ..precond import kron as kron_p
 from ..optim.hvp import rand_like_tree
 from ..optim.transforms import (
@@ -117,18 +118,18 @@ def _per_shard_core(
     preconditioner_max_skew: float,
     preconditioner_init_scale: Optional[float],
     lr_preconditioner: float | Callable,
-    betaL: float,
-    damping: float,
+    betaL: float | Callable,
+    damping: float | Callable,
     momentum: float,
-    grad_clip_max_amps: Tuple[float, float],
-    grad_clip_max_norm: float,
+    grad_clip_max_amps: Tuple[float | Callable, float | Callable],
+    grad_clip_max_norm: float | Callable,
     preconditioner_update_probability: float | Callable,
     update_preconditioner_first: bool,
     whiten_grad: bool,
     dq: str,
     preconditioner_dtype: Any,
     momentum_dtype: Any,
-    norm_k: int,
+    norm_k: Optional[int],
     seed: int,
 ):
     dq = kron_p.canonical_dq(dq)
@@ -212,16 +213,32 @@ def _per_shard_core(
             jnp.logical_and(state.count == 0,
                             preconditioner_init_scale is None))
         lr_q = _sched(lr_preconditioner, state.count)
+        beta_l_t = _sched(betaL, state.count)
+        damping_t = _sched(damping, state.count)
+        clip_amps_t = tuple(_sched(a, state.count)
+                            for a in grad_clip_max_amps)
 
         # Newton mode: draw sharded probes and evaluate the Hvp globally
         # (the model forward needs the whole parameter tree); the per-shard
-        # fit then consumes the local shard views of (v, h).
+        # fit then consumes the local shard views of (v, h).  Evaluated
+        # lazily under the update-probability gate — an Hvp costs ~2x a
+        # gradient and the production recipe anneals the probability to
+        # ~0.01, so off-steps must not pay it (matches scale_by_kron_newton).
         if mode == "newton":
             if hvp_fn is not None:
                 if params is None:
                     raise ValueError("per-shard newton with hvp_fn needs params")
-                vs = rand_like_tree(k_v, params)
-                _, hvs = hvp_fn(params, vs)
+
+                def draw_vh(_):
+                    vs_ = rand_like_tree(k_v, params)
+                    _, hvs_ = hvp_fn(params, vs_)
+                    return vs_, hvs_
+
+                def no_vh(_):
+                    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+                    return zeros, zeros
+
+                vs, hvs = jax.lax.cond(do_update, draw_vh, no_vh, None)
             elif vs is None or hvs is None:
                 raise ValueError(
                     "per-shard newton requires hvp_fn or explicit (vs, hvs)")
@@ -277,13 +294,13 @@ def _per_shard_core(
                             if all_axes:
                                 v2 = jax.lax.pmean(v2, all_axes)
                                 h4 = jax.lax.pmean(h4, all_axes)
-                            scale = v2 ** 0.25 * (h4 + damping ** 4) ** (-1 / 8)
+                            scale = v2 ** 0.25 * (h4 + damping_t ** 4) ** (-1 / 8)
                         else:
                             m4 = jnp.mean(jnp.abs(
                                 fit_loc.astype(jnp.float32)) ** 4)
                             if all_axes:
                                 m4 = jax.lax.pmean(m4, all_axes)
-                            scale = (m4 + damping ** 4) ** (-1 / 8)
+                            scale = (m4 + damping_t ** 4) ** (-1 / 8)
                         eff = scale * scale if plan.fits_p else scale
                         order = max(plan.order, 1)
                         mult = eff ** (1.0 / order)
@@ -300,11 +317,13 @@ def _per_shard_core(
                         return kron_p.update_kron_newton(
                             s, plan, v_loc.reshape(plan.shape).astype(qdt),
                             h_loc.reshape(plan.shape).astype(qdt), kk,
-                            lr=lr_q, beta_l=betaL, damping=damping,
-                            norm_k=norm_k)
+                            lr=lr_q, beta_l=beta_l_t,
+                            damping=damping_t,
+                            norm_k=resolve_norm_k(norm_k, qdt))
                     return kron_p.update_kron_whiten(
                         s, plan, fit_loc.reshape(plan.shape).astype(qdt), kk,
-                        lr=lr_q, beta_l=betaL, damping=damping, norm_k=norm_k)
+                        lr=lr_q, beta_l=beta_l_t, damping=damping_t,
+                        norm_k=resolve_norm_k(norm_k, qdt))
 
                 if update_preconditioner_first:  # biased (ddp:109-110)
                     inner = jax.lax.cond(do_update, fit, lambda s: s, inner)
@@ -317,7 +336,7 @@ def _per_shard_core(
                     used, plan, apply_loc.reshape(plan.shape).astype(qdt))
                 pg = pg.astype(g_loc.dtype)
                 if mode == "whiten":
-                    pg = _amp_clip(pg, *grad_clip_max_amps)
+                    pg = _amp_clip(pg, *clip_amps_t)
                 pg = pg.reshape(g_loc.shape)
                 st_out = ShardedKronLeaf(
                     q=tuple(f[(None,) * n_lead] for f in inner.q),
@@ -337,8 +356,10 @@ def _per_shard_core(
             outs.append(pg)
             new_states.append(st_new)
 
-        if mode == "newton" and grad_clip_max_norm != float("inf"):
-            scale = _global_norm_scale(outs, grad_clip_max_norm)
+        if mode == "newton":
+            # schedule-resolved; _global_norm_scale short-circuits static inf
+            scale = _global_norm_scale(
+                outs, _sched(grad_clip_max_norm, state.count))
             outs = [p * scale for p in outs]
 
         new_state = PSGDState(count=state.count + 1, key=key, mu=mu,
@@ -357,17 +378,17 @@ def scale_by_per_shard_kron_whiten(
     preconditioner_max_skew: float = 1.0,
     preconditioner_init_scale: Optional[float] = 1.0,
     lr_preconditioner: float | Callable = 0.1,
-    betaL: float = 0.9,
-    damping: float = 1e-9,
+    betaL: float | Callable = 0.9,
+    damping: float | Callable = 1e-9,
     momentum: float = 0.0,
     momentum_dtype: Any = None,
-    grad_clip_max_amps: Tuple[float, float] = (2.0, 10.0),
+    grad_clip_max_amps: Tuple[float | Callable, float | Callable] = (2.0, 10.0),
     preconditioner_update_probability: float | Callable = 1.0,
     update_preconditioner_first: bool = True,
     whiten_grad: bool = True,
     dq: str = "Q0.5EQ1.5",
     preconditioner_dtype: Any = None,
-    norm_k: int = 32,
+    norm_k: Optional[int] = None,
     seed: int = 0,
 ) -> optax.GradientTransformation:
     """Per-shard gradient/momentum whitening (zero optimizer collectives).
@@ -393,15 +414,15 @@ def scale_by_per_shard_kron_newton(
     preconditioner_max_skew: float = 1.0,
     preconditioner_init_scale: Optional[float] = 1.0,
     lr_preconditioner: float | Callable = 0.1,
-    betaL: float = 0.9,
-    damping: float = 1e-9,
+    betaL: float | Callable = 0.9,
+    damping: float | Callable = 1e-9,
     momentum: float = 0.0,
     momentum_dtype: Any = None,
-    grad_clip_max_norm: float = float("inf"),
+    grad_clip_max_norm: float | Callable = float("inf"),
     preconditioner_update_probability: float | Callable = 1.0,
     dq: str = "Q0.5EQ1.5",
     preconditioner_dtype: Any = None,
-    norm_k: int = 32,
+    norm_k: Optional[int] = None,
     seed: int = 0,
 ) -> optax.GradientTransformationExtraArgs:
     """Per-shard Newton-type preconditioning (beyond the reference wrapper,

@@ -88,8 +88,8 @@ def _fused_ns_step(f, term1, lip, term2_scalar, key, lr, beta_l, norm_k,
                    step_mat=None):
     """Single-factor fused NS update (term1 bound + L + step + Procrustes)
     through the Pallas kernel (ops.pallas_kernels.fused_ns_update)."""
-    from ..ops.pallas_kernels import fused_ns_update
-    seed = jax.random.randint(key, (1,), 0, 2 ** 31 - 1)
+    from ..ops.pallas_kernels import fused_ns_update, key_seed_words
+    seed = key_seed_words(key)[None]
     t2 = jnp.asarray([term2_scalar], jnp.float32)
     sm = None if step_mat is None else step_mat[None]
     fq, new_l = fused_ns_update(term1[None], f[None], lip[None].astype(jnp.float32),
@@ -778,8 +778,8 @@ def _batched_subs(subs: str) -> str:
 def _fused_ns_stacked(f, term1, lips, term2_vec, keys, lr, beta_l, norm_k,
                       step_mat=None):
     """Batched fused NS update: one kernel launch for the whole stack."""
-    from ..ops.pallas_kernels import fused_ns_update
-    seeds = jax.vmap(lambda k: jax.random.randint(k, (), 0, 2 ** 31 - 1))(keys)
+    from ..ops.pallas_kernels import fused_ns_update, key_seed_words
+    seeds = key_seed_words(keys)
     fq, new_l = fused_ns_update(term1, f, lips.astype(jnp.float32),
                                 term2_vec.astype(jnp.float32), seeds, lr,
                                 beta_l, k=norm_k, step_mat=step_mat)
@@ -958,6 +958,27 @@ def update_kron_whiten_dim_sharded(
       do_update: traced bool (update-probability gate).
     Returns (new_state_local, preconditioned_apply_src_local).
     """
+    return _update_kron_dim_sharded(
+        state, plan, g, key, dim_axes, reshard_plan, apply_src, do_update,
+        "whiten", lr, beta_l, damping, norm_k, fit_first)
+
+
+def update_kron_newton_dim_sharded(
+        state: KronState, plan: KronPlan, v: jax.Array, h: jax.Array,
+        key: jax.Array, dim_axes, reshard_plan, apply_src: jax.Array,
+        do_update, lr: float = 0.1, beta_l: float = 0.9,
+        damping: float = 1e-9, norm_k: int = 32, fit_first: bool = True):
+    """Newton-mode dim-sharded fit + apply: same collective structure as the
+    whiten variant, with term2 the (v v^H) contraction psum'd like term1
+    (reference update_precond_kron_newton_q0p5eq1p5, psgd.py:594-616)."""
+    return _update_kron_dim_sharded(
+        state, plan, (v, h), key, dim_axes, reshard_plan, apply_src,
+        do_update, "newton", lr, beta_l, damping, norm_k, fit_first)
+
+
+def _update_kron_dim_sharded(
+        state, plan, fit_src, key, dim_axes, reshard_plan, apply_src,
+        do_update, mode, lr, beta_l, damping, norm_k, fit_first):
     if plan.dq != DQ_Q05EQ15:
         raise NotImplementedError("dim-sharded update supports Q0.5EQ1.5")
     eff_axes, moves, gather_dims = reshard_plan
@@ -971,7 +992,12 @@ def update_kron_whiten_dim_sharded(
                                    tiled=True)
         return x
 
-    g = to_compute(g)
+    if mode == "newton":
+        v, h = fit_src
+        v = to_compute(v)
+        h = to_compute(h)
+    else:
+        g = to_compute(fit_src)
     apply_src = to_compute(apply_src)
     diag_axes = [eff_axes[d] if plan.is_diag[d] else ()
                  for d in range(len(plan.shape))]
@@ -988,8 +1014,12 @@ def update_kron_whiten_dim_sharded(
 
     def fit(st):
         q = st.q
-        pg = jnp.einsum(plan.subs_p, *[jnp.conj(f) for f in q], *q,
-                        _damped(g, kd, damping))
+        if mode == "newton":
+            pg = jnp.einsum(plan.subs_p, *[jnp.conj(f) for f in q], *q,
+                            _damped(h, kd, damping))
+        else:
+            pg = jnp.einsum(plan.subs_p, *[jnp.conj(f) for f in q], *q,
+                            _damped(g, kd, damping))
         new_q, new_l = [], []
         for i, f in enumerate(q):
             term1 = jnp.einsum(plan.subs_gs[i], pg, jnp.conj(pg))
@@ -997,13 +1027,32 @@ def update_kron_whiten_dim_sharded(
                         for ax in axes)
             if red:
                 term1 = jax.lax.psum(term1, red)
-            term2 = plan.numel / plan.shape[i]
+            if mode == "newton":
+                term2 = jnp.einsum(plan.subs_gs[i], v, jnp.conj(v))
+                if red:
+                    term2 = jax.lax.psum(term2, red)
+            else:
+                term2 = plan.numel / plan.shape[i]
             if plan.is_diag[i]:
-                ell = jnp.max(jnp.real(term1)) + term2
+                ell = jnp.max(jnp.real(term1 + term2))
                 if diag_axes[i]:
                     ell = jax.lax.pmax(ell, diag_axes[i])
                 lip = _update_lips(st.lips[i], ell, beta_l)
                 fq = f * (1.0 - _coeff(lr, lip, f.dtype) * (term1 - term2))
+            elif mode == "newton":
+                if _fused_ns_enabled(f.shape[0], f.dtype):
+                    fq, lip = _fused_ns_step(
+                        f, term1 + term2, st.lips[i], 0.0,
+                        jax.random.fold_in(krest, i), lr, beta_l, norm_k,
+                        step_mat=term1 - term2)
+                else:
+                    ell = norm_lower_bound_spd(
+                        term1 + term2, jax.random.fold_in(krest, i),
+                        k=norm_k)
+                    lip = _update_lips(st.lips[i], ell, beta_l)
+                    fq = f - _coeff(lr, lip, f.dtype) * ((term1 - term2) @ f)
+                    fq = procrustes_step2(
+                        fq, jax.random.fold_in(krest, i + 200), norm_k=norm_k)
             elif _fused_ns_enabled(f.shape[0], f.dtype):
                 fq, lip = _fused_ns_step(f, term1, st.lips[i], term2,
                                          jax.random.fold_in(krest, i), lr,

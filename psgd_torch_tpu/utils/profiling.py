@@ -20,6 +20,47 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "f8": 1,
+                "s64": 8, "s32": 4, "s16": 2, "s8": 1,
+                "u64": 8, "u32": 4, "u16": 2, "u8": 1, "pred": 1,
+                "c64": 8, "c128": 16}
+
+
+def collective_bytes(compiled, per_op: bool = False):
+    """Sum the output bytes of every collective op in a compiled program's
+    HLO — the per-device communication volume of one execution.
+
+    Parses the optimized HLO text for all-reduce / all-gather / all-to-all /
+    reduce-scatter / collective-permute ops and sums their result sizes.
+    Returns total bytes (int), or a dict {op_kind: bytes} with
+    ``per_op=True``.  This is the evidence artifact behind the scaling
+    claims (BASELINE.md >= 85% 1-chip -> 2-hosts target)."""
+    import re
+    text = compiled.as_text()
+    out: dict = {}
+    # result can be a plain shape `f32[a,b]{...} = all-reduce(...)` or a
+    # tuple `(f32[..], f32[..]) = all-to-all(...)`
+    pat = re.compile(
+        r"=\s*(\([^)]*\)|\w+\[[\d,]*\][^=\n]*?)\s*"
+        r"(all-reduce|all-gather|all-to-all|reduce-scatter|"
+        r"collective-permute)(-start)?\(")
+    shape_pat = re.compile(r"(\w+?)\[([\d,]*)\]")
+    for m in pat.finditer(text):
+        shapes, kind = m.group(1), m.group(2)
+        total = 0
+        for sm in shape_pat.finditer(shapes):
+            dt, dims = sm.group(1), sm.group(2)
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total += n * _DTYPE_BYTES.get(dt, 4)
+        out[kind] = out.get(kind, 0) + total
+    if per_op:
+        return out
+    return sum(out.values())
+
+
 class StepTimer:
     """Wall-clock step timer with warmup discard and simple stats.
 
