@@ -121,9 +121,19 @@ def make_multihost_mesh(axis_names: Sequence[str] = ("dcn", "fsdp", "tp"),
         tp = 2 if per_host % 2 == 0 and per_host >= 4 else 1
         ici_shape = [1] * (len(axis_names) - 3) + [per_host // tp, tp]
     dcn_shape = [n_proc] + [1] * (len(axis_names) - 1)
-    devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=[1] * (len(axis_names) - len(ici_shape)) + list(ici_shape),
-        dcn_mesh_shape=dcn_shape)
+    try:
+        devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=[1] * (len(axis_names) - len(ici_shape))
+            + list(ici_shape),
+            dcn_mesh_shape=dcn_shape)
+    except ValueError:
+        # devices without slice metadata (multi-process CPU, some emulated
+        # backends): process-major layout by hand — the leading axis still
+        # spans processes, trailing axes stay within one process
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        shape = ([n_proc] + [1] * (len(axis_names) - 1 - len(ici_shape))
+                 + list(ici_shape))
+        devices = np.array(devs).reshape(shape)
     return Mesh(devices, tuple(axis_names))
 
 
