@@ -219,6 +219,64 @@ def main():
     log(f"Q-update + Pg-apply: {t_q*1e6:.0f} us/step "
         f"({100*t_q/t_adamw:.1f}% of an adamw step)")
 
+    # --- second datapoint: GPT-2 large proportions (n_embd = 1280, dense
+    # factors above the r2 kernel envelope of 1024) — shows the headline
+    # Q-update MFU survives model growth (VERDICT r2 item 2)
+    wide = None
+    if on_tpu:
+        cfg_w = gpt2.tiny_config(n_layer=4, n_head=20, n_embd=1280,
+                                 block_size=256, vocab_size=50304,
+                                 compute_dtype=jnp.bfloat16)
+        params_w = gpt2.init_gpt2(jax.random.fold_in(key, 7), cfg_w)
+        mask_w = gpt2.scanned_layers_mask(params_w)
+        tok_w, tgt_w = gpt2.synthetic_lm_batch(jax.random.fold_in(key, 8),
+                                               2, cfg_w.block_size,
+                                               cfg_w.vocab_size)
+        grads_w = jax.jit(jax.grad(
+            lambda p, x, y: gpt2.loss_gpt2(p, x, y, cfg_w)))(
+                params_w, tok_w, tgt_w)
+        tx_w = popt.scale_by_kron_whiten(
+            preconditioner_max_skew=2.0, preconditioner_init_scale=1.0,
+            preconditioner_dtype=pdt, norm_k=nk, scanned_layers=mask_w)
+
+        def q_loop_w(n):
+            @jax.jit
+            def run(params, grads, state):
+                def body(_, carry):
+                    p, s = carry
+                    u, s = tx_w.update(grads, s)
+                    p = jax.tree_util.tree_map(
+                        lambda a, b: a - 1e-3 * b.astype(a.dtype), p, u)
+                    return p, s
+                p, s = jax.lax.fori_loop(0, n, body, (params, state))
+                return jnp.zeros(()), cksum(p) + cksum(s.precond)
+            return run
+
+        tw1, _ = time_program(q_loop_w(n1), (params_w, grads_w,
+                                             tx_w.init(params_w)), n_inner=1)
+        tw2, _ = time_program(q_loop_w(n2), (params_w, grads_w,
+                                             tx_w.init(params_w)), n_inner=1)
+        t_qw = max((tw2 - tw1) / (n2 - n1), 0.0)
+        try:
+            cw = (jax.jit(lambda g, s: tx_w.update(g, s))
+                  .lower(grads_w, tx_w.init(params_w)).compile())
+            caw = cw.cost_analysis()
+            if isinstance(caw, list):
+                caw = caw[0]
+            fw = float(caw["flops"]) + pallas_ns_flops(params_w, mask_w,
+                                                       nk, 2.0)
+            peak_w = bf16_peak_flops(dev)
+            mfu_w = None if peak_w is None else fw / max(t_qw, 1e-12) / peak_w
+        except Exception:
+            fw, mfu_w = None, None
+        log(f"Q-update (wide, embd 1280): {t_qw*1e6:.0f} us/step, MFU "
+            f"{'n/a' if mfu_w is None else f'{100*mfu_w:.1f}%'}")
+        wide = {"n_embd": 1280, "n_layer": cfg_w.n_layer,
+                "q_update_apply_us": round(t_qw * 1e6),
+                "q_update_mfu": None if mfu_w is None else round(mfu_w, 4),
+                "q_update_gflop_per_step": (
+                    None if fw is None else round(fw / 1e9, 2))}
+
     # MFU of the Q-update + apply program (NS-iteration MFU/chip).
     # XLA cost analysis counts a while-loop body once regardless of trip
     # count, so lower the single-step update program directly.  Work done
@@ -267,6 +325,7 @@ def main():
             "q_update_gflop_per_step": (
                 None if flops_per_step is None else round(flops_per_step / 1e9, 2)),
             "psgd_steps_per_sec": round(1.0 / t_psgd01, 3),
+            "wide_1280": wide,
             "note": "p=0.1 is the reference's production operating point "
                     "(update prob annealed 1.0->0.01, misc/gpt2.py:440)",
         },

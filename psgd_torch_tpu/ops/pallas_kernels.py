@@ -16,11 +16,14 @@ FLOP-bound.  The subspace-iteration norm bounds use the in-kernel PRNG
 (pltpu.prng_*).
 
 Constraints: real dtypes (fp32/bf16 inputs, fp32 compute), n a multiple of
-128 and small enough for VMEM (n <= 1024: the kernel holds ~6 n x n fp32
-intermediates, ~25 MB at n = 1024; n = 2048 exceeds the ~100 MB VMEM budget
-and fails to compile); callers fall back to the plain XLA path otherwise
-(precond.kron does this automatically; tests/test_pallas_kernels.py checks
-the fallback).
+128.  The monolithic kernel holds ~7 n x n fp32 intermediates and compiles
+to n <= 1536 (measured on v5e: 87% MFU @1024, 92% @1536, 2-3.7x the XLA
+path); 1536 < n <= 2048 goes through a two-kernel split (bound+step |
+procrustes, <= ~4 n x n live each, one q1 HBM round-trip).  Above 2048
+callers fall back to the plain XLA path (~50% MFU at 3072-4096: the big
+matmuls run at peak, the bounds/transpose epilogues pay extra HBM passes;
+see tools/bench_ns_widths.py).  precond.kron falls back automatically;
+tests/test_pallas_kernels.py checks parity and the fallback.
 """
 
 from __future__ import annotations
@@ -154,6 +157,10 @@ def fused_ns_update(term1: jax.Array, q: jax.Array, lips: jax.Array,
     Returns (new_q (B, n, n), new_lips (B,)).
     """
     b, n, _ = term1.shape
+    if n > _NS_SINGLE_MAX:
+        # monolith exceeds VMEM: two-kernel split (bound+step | procrustes)
+        return _split_ns_update(term1, q, lips, term2, seed, lr, beta_l,
+                                max_step, k, step_mat)
     has_step = step_mat is not None
     kernel = functools.partial(_ns_kernel,
                                max_step=float(max_step), k=k,
@@ -189,13 +196,131 @@ def fused_ns_update(term1: jax.Array, q: jax.Array, lips: jax.Array,
     return new_q, new_l
 
 
+_NS_SINGLE_MAX = 1536   # one fused kernel: ~7 n^2 fp32 live in VMEM
+_NS_SPLIT_MAX = 2048    # two-kernel split: <= ~4 n^2 fp32 live per kernel
+
+
+def _ns_step_kernel(seed_ref, *refs, k: int, has_step_mat: bool,
+                    mxu_bf16: bool):
+    """Stage 1 of the split NS update: bound + L + linear step -> q1.
+    Live set ~3 n x n fp32 (term1, q, q1), so it compiles to ~2x the
+    single-kernel width."""
+    if has_step_mat:
+        (ell_ref, step_ref, q_ref, lips_ref, term2_ref, lr_ref, bl_ref,
+         q1_out_ref, lips_out_ref) = refs
+    else:
+        (ell_ref, q_ref, lips_ref, term2_ref, lr_ref, bl_ref,
+         q1_out_ref, lips_out_ref) = refs
+        step_ref = ell_ref
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[i, 0], seed_ref[i, 1])
+    tiny = 1e-30
+    t_ell = ell_ref[:].astype(jnp.float32)
+    q = q_ref[:].astype(jnp.float32)
+    term2 = term2_ref[i]
+    lips = lips_ref[i]
+
+    n = t_ell.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    diag_max = jnp.max(jnp.where(row == col, t_ell, -jnp.inf))
+    ell = _subspace_bound(t_ell, diag_max + tiny, k, tiny, mxu_bf16) + term2
+
+    new_lips = jnp.maximum(bl_ref[0] * lips + (1.0 - bl_ref[0]) * ell, ell)
+    coeff = lr_ref[0] / new_lips
+    t_step = t_ell if not has_step_mat else step_ref[:].astype(jnp.float32)
+    q1 = q - coeff * (_dot(t_step, q, mxu_bf16) - term2 * q)
+    q1_out_ref[:] = q1.astype(q1_out_ref.dtype)
+    lips_out_ref[i] = new_lips
+
+
+def _procrustes_kernel(seed_ref, q1_ref, q_out_ref, *, max_step: float,
+                       k: int, mxu_bf16: bool):
+    """Stage 2 of the split NS update: procrustes_step2 on q1.
+    Live set ~4 n x n fp32 (q1, r, rq, rrq)."""
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[i, 0], seed_ref[i, 1] ^ jnp.int32(0x5bd1e995))
+    tiny = 1e-30
+    q1 = q1_ref[:].astype(jnp.float32)
+    r = q1.T - q1
+    r_max = jnp.max(jnp.abs(r))
+    r = r / ((_subspace_bound(r, r_max + tiny, k, tiny, mxu_bf16)) + tiny)
+    rq = _dot(r, q1, mxu_bf16)
+    rrq = _dot(r, rq, mxu_bf16)
+    tr_rq = _trace(rq)
+    tr_rrq = _trace(rrq)
+    safe_den = jnp.where(tr_rrq < 0, tr_rrq, -1.0)
+    a = jnp.where(tr_rrq < 0, jnp.minimum(-tr_rq / safe_den, max_step),
+                  max_step)
+    q_out_ref[:] = (q1 + a * (rq + (0.5 * a) * rrq)).astype(q_out_ref.dtype)
+
+
+def _split_ns_update(term1, q, lips, term2, seed, lr, beta_l, max_step,
+                     k, step_mat):
+    """Two pallas_calls with q1 round-tripping through HBM once (~2 n^2
+    extra HBM traffic vs the monolith, negligible beside the 6 n^3 MXU
+    work) — extends the fused path to n <= 2048."""
+    b, n, _ = term1.shape
+    has_step = step_mat is not None
+    mxu_bf16 = jnp.dtype(q.dtype) == jnp.dtype(jnp.bfloat16)
+    mat_spec = pl.BlockSpec((1, n, n), lambda i, s: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def squeeze3d(kernel):
+        def k3(seed_ref, *refs):
+            squeezed = [r.at[0] if r.shape[:1] == (1,) and len(r.shape) == 3
+                        else r for r in refs]
+            kernel(seed_ref, *squeezed)
+        return k3
+
+    in_specs = [mat_spec] + ([mat_spec] if has_step else []) + \
+        [mat_spec, smem, smem, smem, smem]
+    operands = [term1] + ([step_mat] if has_step else []) + \
+        [q, lips.astype(jnp.float32), term2.astype(jnp.float32),
+         jnp.asarray(lr, jnp.float32).reshape(1),
+         jnp.asarray(beta_l, jnp.float32).reshape(1)]
+    q1, new_l = pl.pallas_call(
+        squeeze3d(functools.partial(_ns_step_kernel, k=k,
+                                    has_step_mat=has_step,
+                                    mxu_bf16=mxu_bf16)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(b,), in_specs=in_specs,
+            out_specs=[mat_spec, smem]),
+        out_shape=[jax.ShapeDtypeStruct((b, n, n), q.dtype),
+                   jax.ShapeDtypeStruct((b,), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(seed.astype(jnp.int32), *operands)
+
+    new_q = pl.pallas_call(
+        squeeze3d(functools.partial(_procrustes_kernel,
+                                    max_step=float(max_step), k=k,
+                                    mxu_bf16=mxu_bf16)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(b,), in_specs=[mat_spec],
+            out_specs=mat_spec),
+        out_shape=jax.ShapeDtypeStruct((b, n, n), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(seed.astype(jnp.int32), q1)
+    return new_q, new_l
+
+
 def ns_update_supported(n: int, dtype) -> bool:
-    """Whether the fused kernel handles this factor (see module docstring)."""
+    """Whether the fused kernel path handles this factor: the monolithic
+    kernel to n <= 1536 (measured 87-92% MFU on v5e), the two-kernel split
+    to n <= 2048 for bf16 Q (70-74% MFU, 1.7-1.8x the XLA path; the f32
+    working set exceeds VMEM there).  Above the envelope the XLA fallback
+    runs at ~50% MFU (measured at n = 3072/4096; the big matmuls are at
+    peak, the bounds/transposes pay extra HBM passes)."""
     if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
         return False
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
         return False
-    return n % 128 == 0 and 128 <= n <= 1024
+    max_n = (_NS_SPLIT_MAX if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16)
+             else _NS_SINGLE_MAX)
+    return n % 128 == 0 and 128 <= n <= max_n
 
 
 # ---------------------------------------------------------------------------
@@ -229,7 +354,10 @@ def _uniform_from_bits(bits):
 def _noise_kernel(seed_ref, o_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    pltpu.prng_seed(seed_ref[i, 0], seed_ref[i, 1], j)
+    # Mosaic allows at most 2 seed words: mix the row-block index into the
+    # second word (golden-ratio odd constant, wrapping int32 multiply)
+    jmix = j * jnp.int32(-1640531527)
+    pltpu.prng_seed(seed_ref[i, 0], seed_ref[i, 1] ^ jmix)
     bits = pltpu.prng_random_bits(o_ref.shape[1:])
     o_ref[0] = _uniform_from_bits(bits).astype(o_ref.dtype)
 

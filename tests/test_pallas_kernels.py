@@ -21,7 +21,8 @@ def test_fused_ns_matches_xla_path():
     q = jnp.eye(N) * 0.7 + 0.02 * jax.random.normal(jax.random.key(1), (B, N, N))
     lips = jnp.zeros((B,), jnp.float32)
     term2 = jnp.full((B,), 3.0, jnp.float32)
-    seed = jnp.arange(B, dtype=jnp.int32)
+    seed = jnp.stack([jnp.arange(B, dtype=jnp.int32),
+                      jnp.arange(B, dtype=jnp.int32) + 101], -1)
 
     qp, lp = jax.jit(lambda *x: fused_ns_update(*x, 0.1, 0.9))(
         term1, q, lips, term2, seed)
@@ -80,7 +81,7 @@ def test_kron_update_same_fixed_point_with_and_without_kernel():
     assert abs(e_on - e_off) < 0.15
 
 
-@pytest.mark.parametrize("n", [128, 768, 1024])
+@pytest.mark.parametrize("n", [128, 768, 1024, 1536])
 def test_kernel_bound_tightness_and_symmetry_across_sizes(n):
     """VERDICT r1 item 9: pin the in-kernel norm bound's tightness and the
     in-kernel Procrustes rotation against the XLA path across factor sizes.
@@ -101,7 +102,8 @@ def test_kernel_bound_tightness_and_symmetry_across_sizes(n):
     lips = jnp.zeros((1,), jnp.float32)
     term2 = jnp.zeros((1,), jnp.float32)
     qp, lp = jax.jit(lambda t, qq: fused_ns_update(
-        t[None], qq[None], lips, term2, jnp.asarray([n], jnp.int32),
+        t[None], qq[None], lips, term2,
+        jnp.asarray([[n, n + 7]], jnp.int32),
         0.1, 0.9, k=128))(term1, q)
     bound = float(lp[0])
     xla_bound = float(jax.jit(lambda t: norm_lower_bound_spd(
@@ -124,15 +126,61 @@ def test_kernel_bound_tightness_and_symmetry_across_sizes(n):
     assert a_kernel < 1.3 * a_xla + 1e-3, (a_kernel, a_xla)
 
 
+def test_split_kernel_matches_xla_path():
+    """The two-kernel split (n > 1536: bound+step kernel, then procrustes
+    kernel) must agree with the XLA path like the monolith does."""
+    from psgd_torch_tpu.ops.pallas_kernels import (fused_ns_update,
+                                                   ns_update_supported,
+                                                   _NS_SINGLE_MAX)
+    from psgd_torch_tpu.ops.linalg import norm_lower_bound_spd, procrustes_step2
+
+    N = 2048
+    # bf16 Q only at this width: the f32 working set exceeds VMEM
+    assert N > _NS_SINGLE_MAX and ns_update_supported(N, jnp.bfloat16)
+    assert not ns_update_supported(N, jnp.float32)
+    B = 2
+    key = jax.random.key(0)
+    a = jax.random.normal(key, (B, N, N), jnp.float32) / N ** 0.5
+    term1 = (jnp.einsum("bij,bkj->bik", a, a)
+             + 0.5 * jnp.eye(N)).astype(jnp.bfloat16)
+    q = (jnp.eye(N) * 0.7 + 0.02 * jax.random.normal(
+        jax.random.key(1), (B, N, N))).astype(jnp.bfloat16)
+    lips = jnp.zeros((B,), jnp.float32)
+    term2 = jnp.full((B,), 3.0, jnp.float32)
+    seed = jnp.stack([jnp.arange(B, dtype=jnp.int32),
+                      jnp.arange(B, dtype=jnp.int32) + 11], -1)
+    qp, lp = jax.jit(lambda *x: fused_ns_update(*x, 0.1, 0.9, k=128))(
+        term1, q, lips, term2, seed)
+
+    def one(t1, qq, l, k):
+        ell = norm_lower_bound_spd(t1, k, k=128) + 3.0
+        l2 = jnp.maximum(0.9 * l + 0.1 * ell, ell)
+        q1 = qq - (0.1 / l2) * (t1 @ qq - 3.0 * qq)
+        return procrustes_step2(q1, jax.random.fold_in(k, 1),
+                                norm_k=128), l2
+
+    # XLA reference on the f32 view of the same bf16 inputs
+    qx, lx = jax.jit(jax.vmap(one))(
+        term1.astype(jnp.float32), q.astype(jnp.float32), lips,
+        jax.random.split(jax.random.key(7), B))
+    rel = float(jnp.max(jnp.abs(qp.astype(jnp.float32) - qx))
+                / jnp.max(jnp.abs(qx)))
+    assert rel < 2e-2, rel  # bf16 storage: ~1e-2 per-op rounding envelope
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lx), rtol=0.06)
+
+
 def test_fallback_above_kernel_envelope_matches_semantics():
-    """Factors above the kernel's n <= 1024 VMEM envelope fall back to the
-    XLA path automatically (precond.kron._fused_ns_enabled); the update must
-    still run and descend toward the whitening fixed point."""
+    """Factors above the kernel's n <= 2048 envelope (monolith to 1536,
+    two-kernel split to 2048) fall back to the XLA path automatically
+    (precond.kron._fused_ns_enabled); the update must still run and descend
+    toward the whitening fixed point."""
     from psgd_torch_tpu.precond import kron
     from psgd_torch_tpu.ops.pallas_kernels import ns_update_supported
 
-    n = 1280  # multiple of 128, above the kernel envelope
-    assert not ns_update_supported(n, jnp.float32)
+    assert ns_update_supported(1280, jnp.float32)   # r2 envelope was 1024
+    assert ns_update_supported(2048, jnp.bfloat16)  # split kernel (bf16)
+    n = 2304  # multiple of 128, above the kernel envelope for every dtype
+    assert not ns_update_supported(n, jnp.bfloat16)
     # (8, n) leaf: each gradient sample carries rank-8 information for the
     # big factor, so the fit is determined within a few hundred steps
     state, plan = kron.init_kron((8, n), 1.0, float("inf"), float("inf"),
@@ -145,11 +193,11 @@ def test_fallback_above_kernel_envelope_matches_semantics():
         k = jax.random.fold_in(root, i)
         kv, ku = jax.random.split(k)
         v = jax.random.normal(kv, (8, n), jnp.float32)
-        lr = (1.0 - i / 600) / 2.0  # annealed like the verification scripts
+        lr = (1.0 - i / 900) / 2.0  # annealed like the verification scripts
         return kron.update_kron_whiten(state, plan, h_col * v, ku,
                                        lr=lr, damping=0.0), None
 
-    state, _ = jax.lax.scan(step, state, jnp.arange(600))
+    state, _ = jax.lax.scan(step, state, jnp.arange(900))
     v = jax.random.normal(jax.random.fold_in(root, 999), (8, n))
     pg = kron.precond_grad(state, plan, h_col * v)
     rel = float(jnp.linalg.norm(pg - v) / jnp.linalg.norm(v))
@@ -162,7 +210,8 @@ def test_unit_noise_kernel():
     draws."""
     from psgd_torch_tpu.ops.pallas_kernels import unit_noise
 
-    seeds = jnp.arange(12, dtype=jnp.int32)
+    seeds = jnp.stack([jnp.arange(12, dtype=jnp.int32),
+                       jnp.arange(12, dtype=jnp.int32) * 7 + 3], -1)
     out = jax.jit(lambda s: unit_noise(s, 768, 768, jnp.bfloat16))(seeds)
     o32 = out.astype(jnp.float32)
     assert abs(float(o32.mean())) < 0.01

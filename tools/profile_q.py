@@ -170,7 +170,8 @@ def main():
         for j, (t1, q, lips, t2) in enumerate(nst_in):
             t1 = perturb(t1, acc)
             b = t1.shape[0]
-            seeds = seed_base + jnp.arange(b, dtype=jnp.int32) + 977 * j
+            s1 = seed_base + jnp.arange(b, dtype=jnp.int32) + 977 * j
+            seeds = jnp.stack([s1, s1 + 31337], -1)
             nq, nl = fused_ns_update(t1, q, lips, t2, seeds, 0.1, 0.9, k=128)
             tot = tot + jnp.sum(nq.astype(jnp.float32))
             tot_l = tot_l + jnp.sum(nl)
