@@ -3,8 +3,11 @@ the reference's mnist_with_lenet5.py:53-72, which drives the shape-dispatching
 update_precond_kron / precond_grad_kron kernels directly with exact
 Hessian-vector products and an lr annealed by (0.01)^(1/(epochs-1)) per epoch.
 
-Runs on synthetic MNIST-like data (no dataset egress in this environment);
-swap `synthetic_mnist` for a real loader to reproduce the reference numbers.
+Data: REAL images by default — the UCI handwritten digits scikit-learn
+ships in-package (models/image_data.py; MNIST itself needs a download this
+environment cannot do).  Falls back to synthetic data without sklearn.
+Comparative Adam-vs-PSGD numbers: tools/run_image_comparisons.py ->
+results/lenet5_digits.json.
 """
 
 import os
@@ -23,8 +26,31 @@ STEPS_PER_EPOCH = 100
 BATCH = 64
 
 
+def load_data():
+    """(train_batch_fn, test_set): real digits if sklearn is available."""
+    try:
+        from psgd_torch_tpu.models import image_data
+        tr_x, tr_y, te_x, te_y = image_data.load_digits_split()
+        x = jnp.asarray(image_data.digits_resized(tr_x, 32, 1))
+        y = jnp.asarray(tr_y)
+        tx = jnp.asarray(image_data.digits_resized(te_x, 32, 1))
+        ty = jnp.asarray(te_y)
+
+        def batch(key, n):
+            idx = jax.random.randint(key, (n,), 0, x.shape[0])
+            return x[idx], y[idx]
+
+        print(f"data: real UCI digits ({x.shape[0]} train / {tx.shape[0]} test)")
+        return batch, (tx, ty)
+    except ImportError:
+        print("data: synthetic (sklearn not available)")
+        return (lambda key, n: lenet5.synthetic_mnist(key, n),
+                lenet5.synthetic_mnist(jax.random.key(999), 1000))
+
+
 def main():
     key = jax.random.key(0)
+    batch_fn, (test_x, test_y) = load_data()
     params = lenet5.init_lenet5(key)
     # one (Ql, Qr) pair per affine [W; b] matrix, both sides dense
     qs = [legacy.init_kron_legacy(p.shape) for p in params]
@@ -56,13 +82,12 @@ def main():
         total = 0.0
         for i in range(STEPS_PER_EPOCH):
             kd = jax.random.fold_in(key, epoch * STEPS_PER_EPOCH + i)
-            images, labels = lenet5.synthetic_mnist(kd, BATCH)
+            images, labels = batch_fn(kd, BATCH)
             params, qs, loss = step(params, qs, lr, kd, images, labels)
             total += float(loss)
-        # test accuracy on a held-out synthetic batch
-        ti, tl = lenet5.synthetic_mnist(jax.random.key(999), 1000)
         acc = float(jnp.mean(
-            jnp.argmax(lenet5.apply_lenet5(params, ti), axis=1) == tl))
+            jnp.argmax(lenet5.apply_lenet5(params, test_x), axis=1)
+            == test_y))
         print(f"epoch {epoch + 1:2d}  lr {lr:.4f}  "
               f"train loss {total / STEPS_PER_EPOCH:.4f}  test acc {acc:.3f}")
         lr *= 0.01 ** (1.0 / (EPOCHS - 1))  # reference annealing schedule

@@ -2,8 +2,10 @@
 parity with the reference benchmark (misc/vit.py:323-363), which shows
 PSGD-Kron-whitening beating Adam(W) with identical hyperparameters.
 
-Runs on synthetic CIFAR-like data (no dataset egress in this environment);
-swap `synthetic_cifar` for a real CIFAR-10 loader to reproduce the numbers.
+Data: REAL images by default — the UCI handwritten digits scikit-learn
+ships in-package, upscaled to the 32x32x3 CIFAR layout (CIFAR-10 itself
+needs a download this environment cannot do); falls back to synthetic data
+without sklearn.  Comparative numbers: results/vit_digits.json.
 The dQ geometry is sweepable like the reference's (misc/vit.py:330).
 """
 
@@ -25,7 +27,28 @@ STEPS_PER_EPOCH = 100
 BATCH = 128
 
 
-def run(name, opt, cfg, key):
+def load_data():
+    try:
+        from psgd_torch_tpu.models import image_data
+        tr_x, tr_y, te_x, te_y = image_data.load_digits_split()
+        x = jnp.asarray(image_data.digits_resized(tr_x, 32, 3))
+        y = jnp.asarray(tr_y)
+        tx = jnp.asarray(image_data.digits_resized(te_x, 32, 3))
+        ty = jnp.asarray(te_y)
+
+        def batch(key, n):
+            idx = jax.random.randint(key, (n,), 0, x.shape[0])
+            return x[idx], y[idx]
+
+        print(f"data: real UCI digits ({x.shape[0]} train / {tx.shape[0]} test)")
+        return batch, (tx, ty)
+    except ImportError:
+        print("data: synthetic (sklearn not available)")
+        return (lambda key, n: vit.synthetic_cifar(key, n),
+                vit.synthetic_cifar(jax.random.key(999), 1000))
+
+
+def run(name, opt, cfg, key, batch_fn, test_set):
     params = vit.init_vit(jax.random.key(42), cfg)
     state = opt.init(params)
 
@@ -40,11 +63,11 @@ def run(name, opt, cfg, key):
         total = 0.0
         for i in range(STEPS_PER_EPOCH):
             kd = jax.random.fold_in(key, epoch * STEPS_PER_EPOCH + i)
-            images, labels = vit.synthetic_cifar(kd, BATCH)
+            images, labels = batch_fn(kd, BATCH)
             params, state, loss = step(params, state,
                                        images.astype(jnp.float32), labels)
             total += float(loss)
-        ti, tl = vit.synthetic_cifar(jax.random.key(999), 1000)
+        ti, tl = test_set
         acc = float(jnp.mean(
             jnp.argmax(vit.apply_vit(params, ti, cfg), axis=1) == tl))
         print(f"[{name}] epoch {epoch + 1:2d}  "
@@ -62,12 +85,13 @@ def main():
     mask = vit.scanned_layers_mask(vit.init_vit(jax.random.key(42), cfg))
     key = jax.random.key(0)
 
-    run("adam", optax.adam(args.lr), cfg, key)
+    batch_fn, test_set = load_data()
+    run("adam", optax.adam(args.lr), cfg, key, batch_fn, test_set)
     run(f"psgd-kron({args.dq})",
         popt.kron_whiten(learning_rate=args.lr, momentum=0.9,
                          preconditioner_max_skew=2.0, dq=args.dq,
                          scanned_layers=mask),
-        cfg, key)
+        cfg, key, batch_fn, test_set)
 
 
 if __name__ == "__main__":
