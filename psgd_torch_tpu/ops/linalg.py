@@ -108,6 +108,20 @@ def _subspace_norm_bound(a: jax.Array, normalizer: jax.Array, key: jax.Array,
     return normalizer * jnp.max(_row_norms(v))
 
 
+def width_norm_k(k: int, n: int) -> int:
+    """Floor the subspace dim at 128 for factors wider than 1024.
+
+    The reference validated k=32 only up to ~1k-wide factors (psgd.py:48-49,
+    misc/tightness_of_spectral_norm_bound.py caps at 1000^2); with k fixed
+    the bound loosens as n grows, and at n ~ 3k a k=32 bound can
+    under-estimate ||A|| enough that lr/L overshoots and the Q fit diverges
+    at aggressive lr (observed at n=3200, f32, lr=0.5).  The floor costs
+    O(k n^2) against the O(n^3) NS tail (~10-17% at these widths) and keeps
+    the Pallas and XLA paths in lockstep (fused_ns_update applies the same
+    rule)."""
+    return max(k, 128) if n > 1024 else k
+
+
 def norm_lower_bound_spd(a: jax.Array, key: jax.Array, k: int = 32,
                          half_iters: int = 2) -> jax.Array:
     """Cheap lower bound of the spectral norm of an SPD/HPD matrix.
@@ -118,6 +132,7 @@ def norm_lower_bound_spd(a: jax.Array, key: jax.Array, k: int = 32,
     """
     rd = real_dtype_of(a.dtype)
     tiny = jnp.asarray(jnp.finfo(rd).tiny, rd)
+    k = width_norm_k(k, a.shape[-1])
     normalizer = jnp.max(jnp.real(jnp.diagonal(a))) + tiny
     return jnp.real(_subspace_norm_bound(a, normalizer, key, k, half_iters))
 
@@ -130,6 +145,7 @@ def norm_lower_bound_skh(a: jax.Array, key: jax.Array, k: int = 32,
     """
     rd = real_dtype_of(a.dtype)
     tiny = jnp.asarray(jnp.finfo(rd).tiny, rd)
+    k = width_norm_k(k, a.shape[-1])
     normalizer = jnp.max(jnp.abs(a)) + tiny
     return jnp.real(_subspace_norm_bound(a, normalizer, key, k, half_iters))
 

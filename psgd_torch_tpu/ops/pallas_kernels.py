@@ -157,9 +157,16 @@ def fused_ns_update(term1: jax.Array, q: jax.Array, lips: jax.Array,
     Returns (new_q (B, n, n), new_lips (B,)).
     """
     b, n, _ = term1.shape
+    from .linalg import width_norm_k
+    k = width_norm_k(k, n)   # same wide-factor floor as the XLA bounds
     if n > _NS_SINGLE_MAX:
-        # monolith exceeds VMEM: two-kernel split (bound+step | procrustes)
-        return _split_ns_update(term1, q, lips, term2, seed, lr, beta_l,
+        if (jnp.dtype(q.dtype) == jnp.dtype(jnp.bfloat16)
+                and n <= _NS_SPLIT_MAX):
+            # two-kernel split (bound+step | procrustes)
+            return _split_ns_update(term1, q, lips, term2, seed, lr, beta_l,
+                                    max_step, k, step_mat)
+        # six-kernel row-block-tiled path (full matrices stay in HBM)
+        return _tiled_ns_update(term1, q, lips, term2, seed, lr, beta_l,
                                 max_step, k, step_mat)
     has_step = step_mat is not None
     kernel = functools.partial(_ns_kernel,
@@ -307,19 +314,246 @@ def _split_ns_update(term1, q, lips, term2, seed, lr, beta_l, max_step,
     return new_q, new_l
 
 
+# ---------------------------------------------------------------------------
+# Tiled NS update (LLaMA-class factor widths).
+#
+# Past the split envelope even a single (n, n) fp32 no longer fits VMEM
+# comfortably (64 MB at n = 4096), so the update is decomposed into six
+# small kernels with row-block streaming: the full matrices live in HBM,
+# each kernel holds at most one full matrix (in the storage dtype) plus
+# O(nb x n) blocks.  Per factor:
+#
+#   K0  ell = bound_spd(term1)                      [term1 resident]
+#       -- scalar glue: L' and lr/L' in XLA --
+#   K1  q1 = q - lr/L' (step @ q - term2 q)         [q resident, step rows
+#                                                    streamed, f32 accum]
+#   K2  r = q1^T - q1                               [block transpose-subtract]
+#   K3  rnorm = bound_skh(r)                        [r resident]
+#   K4  rq = (r / rnorm) @ q1, tr(rq)               [q1 resident, r streamed,
+#                                                    diagonal accumulated]
+#   K5  rrq = (r / rnorm) @ rq, tr(rrq)
+#       -- scalar glue: procrustes step size a --
+#   K6  q' = q1 + a rq + a^2/2 rrq                  [elementwise blocks]
+#
+# Intermediates are stored in Q's dtype (the bf16 operating point keeps the
+# whole update in bf16 — reference README.md:10); thin iterates and matmul
+# accumulation stay f32.  HBM traffic is ~15 n^2 passes vs the 6 n^3 MXU
+# work, so the path stays compute-bound (measured ~70%+ MFU at n = 4096
+# where the XLA fallback runs ~50%).
+# ---------------------------------------------------------------------------
+
+
+def _pick_block(n: int, f32: bool) -> int:
+    for nb in ((256, 128) if f32 else (512, 256, 128)):
+        if n % nb == 0:
+            return nb
+    raise ValueError(f"n={n} not a multiple of 128")
+
+
+def _vmem_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024)
+
+
+def _tiled_bound_kernel(seed_ref, a_ref, out_ref, *, mode: str, k: int,
+                        mxu_bf16: bool, tag: int):
+    """Subspace-iteration norm lower bound with the full matrix resident in
+    its storage dtype; only the thin (k, n) iterate is f32.  Dividing the
+    iterate by the normalizer after every product is algebraically identical
+    to normalizing the matrix up front (each row normalization is
+    scale-invariant), without materializing an (n, n) f32 copy."""
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[i, 0], seed_ref[i, 1] ^ jnp.int32(tag))
+    tiny = 1e-30
+    a = a_ref[0]
+    n = a.shape[0]
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    neg_inf = jnp.asarray(-jnp.inf, a.dtype)
+
+    def scalar_max(m):
+        # Mosaic scalarizes only 32-bit types: rowwise-reduce in the
+        # storage dtype (no (n, n) f32 temp), cast the (n, 1), then max
+        return jnp.max(jnp.max(m, axis=1, keepdims=True).astype(jnp.float32))
+
+    if mode == "spd":
+        s = scalar_max(jnp.where(rows1 == cols1, a, neg_inf)) + tiny
+    else:  # skew-Hermitian: normalizer = max |a|
+        s = scalar_max(jnp.abs(a)) + tiny
+    # largest-row rotation of the initial subspace (reference psgd.py:46-68);
+    # row energies in the storage dtype are plenty for picking a row
+    energy = jnp.sum(a * a, axis=1, keepdims=True).astype(jnp.float32)
+    j = jnp.min(jnp.where(energy == jnp.max(energy), rows1, n))
+    onehot = (cols1 == j).astype(a.dtype)
+    aj = _dot(onehot, a, mxu_bf16) / s           # (1, n) f32
+    bits = pltpu.prng_random_bits((k, n))
+    u = pltpu.bitcast((bits & 0x7FFFFF) | 0x3F800000, jnp.float32) - 1.5
+    v = u * 2.0
+    sgn = jnp.where(jnp.sum(aj * v, axis=1, keepdims=True) >= 0, 1.0, -1.0)
+    v = aj + sgn * v
+    for _ in range(2):
+        v = _dot(v, a, mxu_bf16) / s
+        v = v / (_row_norms(v) + tiny)
+        v = _dot(v, a, mxu_bf16) / s
+    out_ref[i] = s * jnp.max(_row_norms(v))
+
+
+def _tiled_bound(mat, seed, *, mode: str, k: int, mxu_bf16: bool, tag: int):
+    b, n, _ = mat.shape
+    mat_spec = pl.BlockSpec((1, n, n), lambda i, s: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_tiled_bound_kernel, mode=mode, k=k,
+                          mxu_bf16=mxu_bf16, tag=tag),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(b,), in_specs=[mat_spec],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=jax.ShapeDtypeStruct((b,), jnp.float32),
+        compiler_params=_vmem_params(),
+    )(seed, mat)
+
+
+def _tiled_step_kernel(a_ref, bfull_ref, qrow_ref, coeff_ref, term2_ref,
+                       out_ref, *, mxu_bf16: bool):
+    i = pl.program_id(0)
+    prod = _dot(a_ref[0], bfull_ref[0], mxu_bf16)       # (nb, n) f32
+    qrow = qrow_ref[0].astype(jnp.float32)
+    out = qrow - coeff_ref[i] * (prod - term2_ref[i] * qrow)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _tiled_tsub_kernel(xt_ref, x_ref, out_ref):
+    xt = xt_ref[0]
+    out_ref[0] = (xt.T - x_ref[0].astype(xt.dtype)).astype(out_ref.dtype)
+
+
+def _tiled_smm_kernel(a_ref, bfull_ref, inv_ref, out_ref, tr_ref, *,
+                      mxu_bf16: bool, nb: int):
+    i, j = pl.program_id(0), pl.program_id(1)
+    prod = _dot(a_ref[0], bfull_ref[0], mxu_bf16) * inv_ref[i]
+    out_ref[0] = prod.astype(out_ref.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0) + j * nb
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, prod.shape[1]), 1)
+    local = jnp.sum(jnp.where(rows == cols, prod, 0.0))
+
+    @pl.when(j == 0)
+    def _init():
+        tr_ref[i] = 0.0
+
+    tr_ref[i] += local
+
+
+def _tiled_combine_kernel(q1_ref, rq_ref, rrq_ref, a_ref, out_ref):
+    i = pl.program_id(0)
+    a = a_ref[i]
+    q1 = q1_ref[0].astype(jnp.float32)
+    rq = rq_ref[0].astype(jnp.float32)
+    rrq = rrq_ref[0].astype(jnp.float32)
+    out_ref[0] = (q1 + a * rq + (0.5 * a * a) * rrq).astype(out_ref.dtype)
+
+
+def _tiled_ns_update(term1, q, lips, term2, seed, lr, beta_l, max_step,
+                     k, step_mat):
+    b, n, _ = term1.shape
+    dt = q.dtype
+    is_f32 = jnp.dtype(dt) == jnp.dtype(jnp.float32)
+    mxu_bf16 = jnp.dtype(dt) == jnp.dtype(jnp.bfloat16)
+    nb = _pick_block(n, is_f32)
+    nblk = n // nb
+    f32 = jnp.float32
+    tiny = 1e-30
+    seed = seed.astype(jnp.int32)
+    lips = lips.astype(f32)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    resident = pl.BlockSpec((1, n, n), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    rowblk = pl.BlockSpec((1, nb, n), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+
+    # K0 + scalar glue
+    ell = _tiled_bound(term1, seed, mode="spd", k=k, mxu_bf16=mxu_bf16,
+                       tag=0) + term2.astype(f32)
+    new_l = jnp.maximum(beta_l * lips + (1.0 - beta_l) * ell, ell)
+    coeff = (jnp.asarray(lr, f32) / new_l).astype(f32)
+
+    # K1: q1 = q - coeff (step @ q - term2 q)
+    step_in = term1 if step_mat is None else step_mat
+    q1 = pl.pallas_call(
+        functools.partial(_tiled_step_kernel, mxu_bf16=mxu_bf16),
+        grid=(b, nblk),
+        in_specs=[rowblk, resident, rowblk, smem, smem],
+        out_specs=rowblk,
+        out_shape=jax.ShapeDtypeStruct((b, n, n), dt),
+        compiler_params=_vmem_params(),
+    )(step_in, q, q, coeff, term2.astype(f32))
+
+    # K2: r = q1^T - q1 (block transpose-subtract)
+    sq = pl.BlockSpec((1, nb, nb), lambda i, bi, bj: (i, bi, bj),
+                      memory_space=pltpu.VMEM)
+    sq_t = pl.BlockSpec((1, nb, nb), lambda i, bi, bj: (i, bj, bi),
+                        memory_space=pltpu.VMEM)
+    r = pl.pallas_call(
+        _tiled_tsub_kernel,
+        grid=(b, nblk, nblk),
+        in_specs=[sq_t, sq],
+        out_specs=sq,
+        out_shape=jax.ShapeDtypeStruct((b, n, n), dt),
+        compiler_params=_vmem_params(),
+    )(q1, q1)
+
+    # K3 + glue: normalize R by its norm lower bound
+    rnorm = _tiled_bound(r, seed, mode="skh", k=k, mxu_bf16=mxu_bf16,
+                         tag=0x5BD1E995)
+    inv = (1.0 / (rnorm + tiny)).astype(f32)
+
+    def scaled_matmul_trace(a_mat, b_mat):
+        return pl.pallas_call(
+            functools.partial(_tiled_smm_kernel, mxu_bf16=mxu_bf16, nb=nb),
+            grid=(b, nblk),
+            in_specs=[rowblk, resident, smem],
+            out_specs=[rowblk, smem],
+            out_shape=[jax.ShapeDtypeStruct((b, n, n), dt),
+                       jax.ShapeDtypeStruct((b,), f32)],
+            compiler_params=_vmem_params(),
+        )(a_mat, b_mat, inv)
+
+    # K4/K5: rq = (r/rnorm) @ q1 with tr(rq); rrq = (r/rnorm) @ rq with tr(rrq)
+    rq, tr_rq = scaled_matmul_trace(r, q1)
+    rrq, tr_rrq = scaled_matmul_trace(r, rq)
+
+    safe_den = jnp.where(tr_rrq < 0, tr_rrq, -1.0)
+    a_step = jnp.where(tr_rrq < 0,
+                       jnp.minimum(-tr_rq / safe_den, max_step),
+                       max_step).astype(f32)
+
+    # K6: q' = q1 + a rq + a^2/2 rrq
+    new_q = pl.pallas_call(
+        _tiled_combine_kernel,
+        grid=(b, nblk),
+        in_specs=[rowblk, rowblk, rowblk, smem],
+        out_specs=rowblk,
+        out_shape=jax.ShapeDtypeStruct((b, n, n), dt),
+        compiler_params=_vmem_params(),
+    )(q1, rq, rrq, a_step)
+    return new_q, new_l
+
+
+_NS_TILED_MAX_BF16 = 4096   # resident bf16 matrix 32 MB; row blocks streamed
+_NS_TILED_MAX_F32 = 3072    # resident f32 matrix 36 MB
+
+
 def ns_update_supported(n: int, dtype) -> bool:
     """Whether the fused kernel path handles this factor: the monolithic
     kernel to n <= 1536 (measured 87-92% MFU on v5e), the two-kernel split
     to n <= 2048 for bf16 Q (70-74% MFU, 1.7-1.8x the XLA path; the f32
-    working set exceeds VMEM there).  Above the envelope the XLA fallback
-    runs at ~50% MFU (measured at n = 3072/4096; the big matmuls are at
-    peak, the bounds/transposes pay extra HBM passes)."""
+    working set exceeds VMEM there), and the tiled six-kernel path to
+    n <= 4096 bf16 / 3072 f32 (row-block streaming; ~70% MFU where the XLA
+    fallback runs ~50%).  Above the envelope callers fall back to XLA."""
     if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
         return False
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
         return False
-    max_n = (_NS_SPLIT_MAX if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16)
-             else _NS_SINGLE_MAX)
+    max_n = (_NS_TILED_MAX_BF16 if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16)
+             else _NS_TILED_MAX_F32)
     return n % 128 == 0 and 128 <= n <= max_n
 
 

@@ -135,9 +135,7 @@ def test_split_kernel_matches_xla_path():
     from psgd_torch_tpu.ops.linalg import norm_lower_bound_spd, procrustes_step2
 
     N = 2048
-    # bf16 Q only at this width: the f32 working set exceeds VMEM
     assert N > _NS_SINGLE_MAX and ns_update_supported(N, jnp.bfloat16)
-    assert not ns_update_supported(N, jnp.float32)
     B = 2
     key = jax.random.key(0)
     a = jax.random.normal(key, (B, N, N), jnp.float32) / N ** 0.5
@@ -170,8 +168,9 @@ def test_split_kernel_matches_xla_path():
 
 
 def test_fallback_above_kernel_envelope_matches_semantics():
-    """Factors above the kernel's n <= 2048 envelope (monolith to 1536,
-    two-kernel split to 2048) fall back to the XLA path automatically
+    """Factors above the kernel envelope (monolith to 1536, two-kernel
+    split to 2048 bf16, tiled six-kernel path to 4096 bf16 / 3072 f32)
+    fall back to the XLA path automatically
     (precond.kron._fused_ns_enabled); the update must still run and descend
     toward the whitening fixed point."""
     from psgd_torch_tpu.precond import kron
@@ -179,8 +178,10 @@ def test_fallback_above_kernel_envelope_matches_semantics():
 
     assert ns_update_supported(1280, jnp.float32)   # r2 envelope was 1024
     assert ns_update_supported(2048, jnp.bfloat16)  # split kernel (bf16)
-    n = 2304  # multiple of 128, above the kernel envelope for every dtype
-    assert not ns_update_supported(n, jnp.bfloat16)
+    assert ns_update_supported(4096, jnp.bfloat16)  # tiled path (r3)
+    assert ns_update_supported(3072, jnp.float32)   # tiled path (r3)
+    assert not ns_update_supported(4224, jnp.bfloat16)
+    n = 3200  # multiple of 128, above the f32 tiled envelope
     # (8, n) leaf: each gradient sample carries rank-8 information for the
     # big factor, so the fit is determined within a few hundred steps
     state, plan = kron.init_kron((8, n), 1.0, float("inf"), float("inf"),
@@ -201,7 +202,52 @@ def test_fallback_above_kernel_envelope_matches_semantics():
     v = jax.random.normal(jax.random.fold_in(root, 999), (8, n))
     pg = kron.precond_grad(state, plan, h_col * v)
     rel = float(jnp.linalg.norm(pg - v) / jnp.linalg.norm(v))
-    assert rel < 0.35, rel  # same envelope as the n=128 kernel fixed-point test
+    # each (8, n) gradient sample carries rank-8 information for the n-wide
+    # factor, so at n=3200 the 900-step fit lands near rel ~ 0.37 (vs ~0.3
+    # at the old n=2304); the point here is that the fallback runs and
+    # descends from rel ~ 1, not a tight fixed-point test (those are the
+    # n=128 kernel/CPU tests)
+    assert rel < 0.45, rel
+
+
+@pytest.mark.parametrize("N,dt", [(2048, jnp.float32), (3072, jnp.float32),
+                                  (3072, jnp.bfloat16), (4096, jnp.bfloat16)])
+def test_tiled_kernel_matches_xla_path(N, dt):
+    """The six-kernel tiled path (2048 < n <= 4096 bf16 / 1536 < n <= 3072
+    f32) must agree with the XLA path like the monolith and split do."""
+    from psgd_torch_tpu.ops.pallas_kernels import (fused_ns_update,
+                                                   ns_update_supported)
+    from psgd_torch_tpu.ops.linalg import norm_lower_bound_spd, procrustes_step2
+
+    assert ns_update_supported(N, dt)
+    B = 2
+    key = jax.random.key(0)
+    a = jax.random.normal(key, (B, N, N), jnp.float32) / N ** 0.5
+    term1 = (jnp.einsum("bij,bkj->bik", a, a) + 0.5 * jnp.eye(N)).astype(dt)
+    q = (jnp.eye(N) * 0.7 + 0.02 * jax.random.normal(
+        jax.random.key(1), (B, N, N))).astype(dt)
+    lips = jnp.zeros((B,), jnp.float32)
+    term2 = jnp.full((B,), 3.0, jnp.float32)
+    seed = jnp.stack([jnp.arange(B, dtype=jnp.int32),
+                      jnp.arange(B, dtype=jnp.int32) + 11], -1)
+    qp, lp = jax.jit(lambda *x: fused_ns_update(*x, 0.1, 0.9, k=128))(
+        term1, q, lips, term2, seed)
+
+    def one(t1, qq, l, k):
+        ell = norm_lower_bound_spd(t1, k, k=128) + 3.0
+        l2 = jnp.maximum(0.9 * l + 0.1 * ell, ell)
+        q1 = qq - (0.1 / l2) * (t1 @ qq - 3.0 * qq)
+        return procrustes_step2(q1, jax.random.fold_in(k, 1),
+                                norm_k=128), l2
+
+    qx, lx = jax.jit(jax.vmap(one))(
+        term1.astype(jnp.float32), q.astype(jnp.float32), lips,
+        jax.random.split(jax.random.key(7), B))
+    rel = float(jnp.max(jnp.abs(qp.astype(jnp.float32) - qx))
+                / jnp.max(jnp.abs(qx)))
+    tol = 2e-2 if jnp.dtype(dt) == jnp.dtype(jnp.bfloat16) else 5e-3
+    assert rel < tol, rel
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lx), rtol=0.06)
 
 
 def test_unit_noise_kernel():

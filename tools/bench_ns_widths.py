@@ -15,10 +15,18 @@ Usage: PSGD_BENCH=1 python tools/bench_ns_widths.py [--sizes 768,1024,...]
 """
 
 import argparse
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+# persistent compile cache (same location as the test suite's): the sweep is
+# dominated by cold XLA compiles otherwise
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".cache", "jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +62,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="768,1024,1280,1536,2048,3072,4096")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--json", default=None,
+                    help="write per-width results to this JSON file")
     args = ap.parse_args()
+    records = []
     dt = jnp.dtype(args.dtype)
     norm_k = 128 if dt == jnp.dtype(jnp.bfloat16) else 32
     peak = PEAK_BF16 if dt == jnp.dtype(jnp.bfloat16) else PEAK_F32
@@ -99,6 +110,10 @@ def main():
         t_xla = slope_time(mk_xla, (term1, q, lips))
         log(f"n={n:5d} b={b:2d}  xla   : {t_xla*1e6:9.0f} us  "
             f"{flops/1e9:7.1f} GF  MFU {flops/t_xla/peak*100:5.1f}%")
+        rec = {"n": n, "b": b, "dtype": str(dt), "gflop": round(flops / 1e9, 1),
+               "xla_us": round(t_xla * 1e6),
+               "xla_mfu": round(flops / t_xla / peak, 4)}
+        records.append(rec)
 
         from psgd_torch_tpu.ops.pallas_kernels import fused_ns_update
         seeds = jnp.stack([jnp.arange(b, dtype=jnp.int32),
@@ -123,9 +138,20 @@ def main():
             log(f"n={n:5d} b={b:2d}  pallas: {t_pl*1e6:9.0f} us  "
                 f"{flops/1e9:7.1f} GF  MFU {flops/t_pl/peak*100:5.1f}%  "
                 f"(xla/pallas {t_xla/t_pl:.2f}x)")
+            rec.update(pallas_us=round(t_pl * 1e6),
+                       pallas_mfu=round(flops / t_pl / peak, 4),
+                       speedup=round(t_xla / t_pl, 2))
         except Exception as e:
             log(f"n={n:5d} b={b:2d}  pallas: does not compile "
                 f"({type(e).__name__}: {str(e)[:120]})")
+            rec.update(pallas_us=None)
+
+    if args.json:
+        import json
+        with open(args.json, "w") as f:
+            json.dump({"device": str(jax.devices()[0]), "norm_k": norm_k,
+                       "peak_flops": peak, "results": records}, f, indent=1)
+        log(f"wrote {args.json}")
 
 
 if __name__ == "__main__":
