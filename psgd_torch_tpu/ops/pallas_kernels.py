@@ -19,10 +19,14 @@ Constraints: real dtypes (fp32/bf16 inputs, fp32 compute), n a multiple of
 128.  The monolithic kernel holds ~7 n x n fp32 intermediates and compiles
 to n <= 1536 (measured on v5e: 87% MFU @1024, 92% @1536, 2-3.7x the XLA
 path); 1536 < n <= 2048 goes through a two-kernel split (bound+step |
-procrustes, <= ~4 n x n live each, one q1 HBM round-trip).  Above 2048
-callers fall back to the plain XLA path (~50% MFU at 3072-4096: the big
-matmuls run at peak, the bounds/transpose epilogues pay extra HBM passes;
-see tools/bench_ns_widths.py).  precond.kron falls back automatically;
+procrustes, <= ~4 n x n live each, one q1 HBM round-trip; 74-82% MFU,
+1.8-2.1x XLA); wider factors to 4096 bf16 / 3072 f32 through the tiled
+six-kernel path (row-block streaming; 62% MFU @3072, 68% @4096, 1.26-1.34x
+the XLA fallback's ~49-51%; results/ns_widths_bf16.json).  Above the
+envelope callers fall back to the plain XLA path (the big matmuls run at
+peak, the bounds/transpose epilogues pay extra HBM passes, and the gap
+shrinks as the 6 n^3 MXU work outgrows the O(n^2) epilogues; see
+tools/bench_ns_widths.py).  precond.kron falls back automatically;
 tests/test_pallas_kernels.py checks parity and the fallback.
 """
 
@@ -338,8 +342,9 @@ def _split_ns_update(term1, q, lips, term2, seed, lr, beta_l, max_step,
 # Intermediates are stored in Q's dtype (the bf16 operating point keeps the
 # whole update in bf16 — reference README.md:10); thin iterates and matmul
 # accumulation stay f32.  HBM traffic is ~15 n^2 passes vs the 6 n^3 MXU
-# work, so the path stays compute-bound (measured ~70%+ MFU at n = 4096
-# where the XLA fallback runs ~50%).
+# work, so the path stays compute-bound: measured on v5e (bf16, k=128)
+# 62% MFU at n = 3072 and 68% at n = 4096, vs ~49-51% for the XLA fallback
+# (results/ns_widths_bf16.json, tools/bench_ns_widths.py).
 # ---------------------------------------------------------------------------
 
 
@@ -544,10 +549,11 @@ _NS_TILED_MAX_F32 = 3072    # resident f32 matrix 36 MB
 def ns_update_supported(n: int, dtype) -> bool:
     """Whether the fused kernel path handles this factor: the monolithic
     kernel to n <= 1536 (measured 87-92% MFU on v5e), the two-kernel split
-    to n <= 2048 for bf16 Q (70-74% MFU, 1.7-1.8x the XLA path; the f32
+    to n <= 2048 for bf16 Q (74-82% MFU, 1.8-2.1x the XLA path; the f32
     working set exceeds VMEM there), and the tiled six-kernel path to
-    n <= 4096 bf16 / 3072 f32 (row-block streaming; ~70% MFU where the XLA
-    fallback runs ~50%).  Above the envelope callers fall back to XLA."""
+    n <= 4096 bf16 / 3072 f32 (row-block streaming; 62-68% MFU where the
+    XLA fallback runs ~49-51%).  Above the envelope callers fall back to
+    XLA."""
     if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
         return False
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):

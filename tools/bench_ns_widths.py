@@ -46,11 +46,17 @@ def slope_time(make_loop, args, n1=4, n2=24):
     float(f1(*args))
     float(f2(*args))
     best = float("inf")
-    for _ in range(3):
+    for rep in range(6):
         t0 = time.perf_counter(); float(f1(*args)); ta = time.perf_counter() - t0
         t0 = time.perf_counter(); float(f2(*args)); tb = time.perf_counter() - t0
-        best = min(best, (tb - ta) / (n2 - n1))
-    return max(best, 1e-9)
+        slope = (tb - ta) / (n2 - n1)
+        if slope > 0:
+            best = min(best, slope)
+        if rep >= 2 and best < float("inf"):
+            break
+    if best == float("inf"):
+        raise RuntimeError("slope timing unreliable (non-positive slopes)")
+    return best
 
 
 def ns_flops(b, n, k):
