@@ -17,6 +17,7 @@ Prints ONE JSON line:
    "unit": "x", "vs_baseline": <value / 1.15, < 1.0 means target met>}
 """
 
+import pathlib
 import json
 import sys
 import time
@@ -122,7 +123,11 @@ def time_interleaved(fns_args, n_inner=N_STEPS, n_outer=6):
     return best, losses
 
 
-def main():
+def main(medium: bool = False):
+    """Headline 124M comparison; ``--medium`` reruns it at GPT-2 350M
+    proportions (24 x 1024 embd; dense Kron factors 1024) and records the
+    result to results/gpt2_medium_bench.json — the full-model evidence that
+    the step-ratio and Q-update MFU survive model growth."""
     import psgd_torch_tpu.optim as popt
     from psgd_torch_tpu.models import gpt2
 
@@ -131,8 +136,9 @@ def main():
     on_tpu = dev.platform == "tpu"
 
     if on_tpu:
-        cfg = gpt2.gpt2_124m(compute_dtype=jnp.bfloat16, remat=False)
-        batch, seq = 4, cfg.block_size
+        cfg = (gpt2.gpt2_350m if medium else gpt2.gpt2_124m)(
+            compute_dtype=jnp.bfloat16, remat=False)
+        batch, seq = (2 if medium else 4), cfg.block_size
     else:  # CPU smoke mode
         cfg = gpt2.tiny_config(n_layer=2, n_embd=128, n_head=4,
                                vocab_size=1024, block_size=64,
@@ -223,7 +229,7 @@ def main():
     # factors above the r2 kernel envelope of 1024) — shows the headline
     # Q-update MFU survives model growth (VERDICT r2 item 2)
     wide = None
-    if on_tpu:
+    if on_tpu and not medium:
         cfg_w = gpt2.tiny_config(n_layer=4, n_head=20, n_embd=1280,
                                  block_size=256, vocab_size=50304,
                                  compute_dtype=jnp.bfloat16)
@@ -308,7 +314,8 @@ def main():
 
     ratio = t_psgd01 / t_adamw
     result = {
-        "metric": "gpt2_124m_psgd_kron_step_time_ratio_vs_adamw",
+        "metric": ("gpt2_350m_psgd_kron_step_time_ratio_vs_adamw" if medium
+                   else "gpt2_124m_psgd_kron_step_time_ratio_vs_adamw"),
         "value": round(ratio, 4),
         "unit": "x",
         "vs_baseline": round(ratio / 1.15, 4),
@@ -330,6 +337,13 @@ def main():
                     "(update prob annealed 1.0->0.01, misc/gpt2.py:440)",
         },
     }
+    if medium:
+        out = pathlib.Path(__file__).parent / "results" / "gpt2_medium_bench.json"
+        try:
+            out.write_text(json.dumps(result, indent=1))
+            log(f"wrote {out}")
+        except OSError as e:
+            log(f"could not write {out}: {e}")
     print(json.dumps(result), flush=True)
 
 
@@ -431,6 +445,20 @@ def convergence(n_steps: int = 1000, data_seed: int = 1):
                    "val_ratio": round(v_psgd / v_adamw, 4),
                    "adamw_curve": c_adamw, "psgd_curve": c_psgd},
     }
+    # time-to-quality: first curve point where PSGD is at or below AdamW's
+    # final train loss (the wall-clock-win framing of the reference's
+    # "matching loss curve" claim, since step times are ~equal — see the
+    # headline step-ratio metric)
+    hit = next((s for s, l in c_psgd if l <= l_adamw), None)
+    if hit is not None:
+        result["detail"]["psgd_steps_to_adamw_final_train_loss"] = hit
+        result["detail"]["steps_to_quality_ratio"] = round(hit / n_steps, 3)
+    out = pathlib.Path(__file__).parent / "results" / "gpt2_convergence.json"
+    try:
+        out.write_text(json.dumps(result, indent=1))
+        log(f"wrote {out}")
+    except OSError as e:  # read-only checkout: still print the metric
+        log(f"could not write {out}: {e}")
     print(json.dumps(result), flush=True)
 
 
@@ -442,5 +470,7 @@ if __name__ == "__main__":
             if a.startswith("--seed="):
                 seed = int(a.split("=", 1)[1])
         convergence(int(extra[0]) if extra else 1000, data_seed=seed)
+    elif "--medium" in sys.argv:
+        main(medium=True)
     else:
         main()

@@ -63,6 +63,15 @@ def gpt2_124m(**kw) -> GPT2Config:
     return GPT2Config(**base)
 
 
+def gpt2_350m(**kw) -> GPT2Config:
+    """GPT-2 medium proportions: the Kron factors include 1024 (attn/embd)
+    and 4096 (MLP) — the widths served by the tiled NS kernel path."""
+    base = dict(vocab_size=50304, block_size=1024, n_layer=24, n_head=16,
+                n_embd=1024)
+    base.update(kw)
+    return GPT2Config(**base)
+
+
 def init_gpt2(key: jax.Array, cfg: GPT2Config) -> dict:
     """GPT-2 initialization: normal(0, 0.02), residual projections scaled by
     1/sqrt(2 L); biases zero; LM head tied to wte."""

@@ -447,7 +447,7 @@ def scale_by_kron_whiten(
     (SURVEY.md §7 "Sharded factor updates"), keeping one GLOBAL Q per leaf —
     same math as replicated, ~1/k compute per device.  Pair with
     ``psgd_state_specs(..., factor_sharding_params=params)`` so diag factors
-    live sharded along their dims.  Q0.5EQ1.5 only.
+    live sharded along their dims.  Q0.5EQ1.5 and QUAD geometries.
     """
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
@@ -543,7 +543,7 @@ def scale_by_kron_whiten(
                 raise ValueError("factor_sharding specs do not match params")
             for i, (g, f, p, spec) in enumerate(
                     zip(leaves, flags, plans, spec_leaves)):
-                if f or p.dq != kron_p.DQ_Q05EQ15:
+                if f or p.dq not in kron_p.DIM_SHARDABLE_DQS:
                     continue
                 axes = _squeeze_spec(g.shape, spec)
                 if any(axes):
@@ -706,7 +706,7 @@ def scale_by_kron_newton(
     mirror scale_by_kron_whiten: stacked leaves fit + apply under an
     explicit layer-axis shard_map (ZeRO-style Q partitioning), and
     dim-sharded non-stacked leaves (embeddings) fit with local contractions
-    + psum on one global Q (Q0.5EQ1.5 only).  The fit source here is the
+    + psum on one global Q (Q0.5EQ1.5 and QUAD).  The fit source here is the
     (v, Hvp) pair instead of the gradient.
     """
     dq = kron_p.canonical_dq(dq)
@@ -763,7 +763,7 @@ def scale_by_kron_newton(
                 raise ValueError("factor_sharding specs do not match params")
             for i, (g, f, p, spec) in enumerate(
                     zip(leaves, flags, plans, spec_leaves)):
-                if f or p.dq != kron_p.DQ_Q05EQ15:
+                if f or p.dq not in kron_p.DIM_SHARDABLE_DQS:
                     continue
                 axes = _squeeze_spec(g.shape, spec)
                 if any(axes):

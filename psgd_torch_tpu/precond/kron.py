@@ -53,6 +53,8 @@ DQ_QUAD4P = "QUAD4P"
 DQ_PRO4P = "PRO4P"
 ALL_DQ = (DQ_EQ, DQ_QEP, DQ_QEQ, DQ_QUAD, DQ_Q05EQ15, DQ_QUAD4P, DQ_PRO4P)
 _FIT_P = frozenset({DQ_QUAD4P, DQ_PRO4P})
+# geometries the dim-sharded (factor_sharding) update implements
+DIM_SHARDABLE_DQS = frozenset({DQ_Q05EQ15, DQ_QUAD})
 
 
 def canonical_dq(dq: str) -> str:
@@ -979,8 +981,9 @@ def update_kron_newton_dim_sharded(
 def _update_kron_dim_sharded(
         state, plan, fit_src, key, dim_axes, reshard_plan, apply_src,
         do_update, mode, lr, beta_l, damping, norm_k, fit_first):
-    if plan.dq != DQ_Q05EQ15:
-        raise NotImplementedError("dim-sharded update supports Q0.5EQ1.5")
+    if plan.dq not in DIM_SHARDABLE_DQS:
+        raise NotImplementedError(
+            "dim-sharded update supports Q0.5EQ1.5 and QUAD")
     eff_axes, moves, gather_dims = reshard_plan
 
     def to_compute(x):
@@ -1033,12 +1036,33 @@ def _update_kron_dim_sharded(
                     term2 = jax.lax.psum(term2, red)
             else:
                 term2 = plan.numel / plan.shape[i]
+            quad = plan.dq == DQ_QUAD
+            lr_eff = lr / 2.0 if quad else lr
             if plan.is_diag[i]:
                 ell = jnp.max(jnp.real(term1 + term2))
                 if diag_axes[i]:
                     ell = jax.lax.pmax(ell, diag_axes[i])
                 lip = _update_lips(st.lips[i], ell, beta_l)
-                fq = f * (1.0 - _coeff(lr, lip, f.dtype) * (term1 - term2))
+                gain = 1.0 - _coeff(lr_eff, lip, f.dtype) * (term1 - term2)
+                fq = f * gain * gain if quad else f * gain
+            elif quad:
+                # SPD Q, two-sided quadratic step + symmetrize
+                # (_quad_core / _newton_quad_core under the psum'd terms)
+                if mode == "newton":
+                    ell = norm_lower_bound_spd(
+                        term1 + term2, jax.random.fold_in(krest, i), k=norm_k)
+                    lip = _update_lips(st.lips[i], ell, beta_l)
+                    err = _coeff(lr_eff, lip, f.dtype) * (term1 - term2)
+                    p = f - err @ f
+                    p = p - p @ err
+                else:
+                    ell = norm_lower_bound_spd(
+                        term1, jax.random.fold_in(krest, i), k=norm_k) + term2
+                    lip = _update_lips(st.lips[i], ell, beta_l)
+                    c = _coeff(lr_eff, lip, f.dtype)
+                    p = f - c * (term1 @ f - term2 * f)
+                    p = p - c * (p @ term1 - term2 * p)
+                fq = 0.5 * (p + jnp.conj(p.T))
             elif mode == "newton":
                 if _fused_ns_enabled(f.shape[0], f.dtype):
                     fq, lip = _fused_ns_step(

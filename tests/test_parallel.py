@@ -403,18 +403,20 @@ def test_dim_sharded_124m_proportions_flops_scale():
     assert efficiency > 0.85, f"124M Q-update scaling {efficiency:.2%}"
 
 
-def test_dim_sharded_embedding_matches_plain_math():
+@pytest.mark.parametrize("dq", ["Q0.5EQ1.5", "QUAD"])
+def test_dim_sharded_embedding_matches_plain_math(dq):
     """Dim-sharded whitening keeps ONE global preconditioner: its update
     direction agrees with the plain transform (PRNG streams differ only in
-    the per-shard noise fold)."""
+    the per-shard noise fold).  Covers both dim-shardable geometries."""
     mesh = make_mesh(8, axis_names=("fsdp",))
     g = {"emb": jax.random.normal(jax.random.key(3), (64, 16))}
     p = {"emb": jnp.zeros((64, 16))}
     specs = {"emb": PS("fsdp", None)}
 
-    tx_shard = popt.scale_by_kron_whiten(preconditioner_init_scale=1.0,
+    tx_shard = popt.scale_by_kron_whiten(preconditioner_init_scale=1.0, dq=dq,
                                          factor_sharding=(mesh, specs), seed=7)
-    tx_plain = popt.scale_by_kron_whiten(preconditioner_init_scale=1.0, seed=7)
+    tx_plain = popt.scale_by_kron_whiten(preconditioner_init_scale=1.0, dq=dq,
+                                         seed=7)
     s1 = tx_shard.init(p)
     s1 = jax.device_put(s1, named_shardings(
         mesh, psgd_state_specs(specs, s1, factor_sharding_params=p,
@@ -537,10 +539,11 @@ def test_stack_sharded_newton_matches_replicated():
         np.asarray(p_rep["blocks"]["mlp_fc_w"]), atol=1e-5)
 
 
-def test_dim_sharded_newton_embedding_matches_plain_math():
+@pytest.mark.parametrize("dq", ["Q0.5EQ1.5", "QUAD"])
+def test_dim_sharded_newton_embedding_matches_plain_math(dq):
     """Newton-mode factor_sharding: the dim-sharded (v, h) fit keeps one
     global preconditioner whose update direction agrees with the plain
-    Newton transform."""
+    Newton transform.  Covers both dim-shardable geometries."""
     mesh = make_mesh(8, axis_names=("fsdp",))
     k1, k2, k3 = jax.random.split(jax.random.key(3), 3)
     g = {"emb": jax.random.normal(k1, (64, 16))}
@@ -553,9 +556,9 @@ def test_dim_sharded_newton_embedding_matches_plain_math():
 
     tx_shard = popt.scale_by_kron_newton(preconditioner_init_scale=1.0,
                                          factor_sharding=(mesh, specs),
-                                         seed=7)
+                                         dq=dq, seed=7)
     tx_plain = popt.scale_by_kron_newton(preconditioner_init_scale=1.0,
-                                         seed=7)
+                                         dq=dq, seed=7)
     s1 = tx_shard.init(p)
     s1 = jax.device_put(s1, named_shardings(
         mesh, psgd_state_specs(specs, s1, factor_sharding_params=p,
