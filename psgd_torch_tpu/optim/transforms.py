@@ -911,6 +911,22 @@ def _ravel(tree):
     return jax.flatten_util.ravel_pytree(tree)
 
 
+def _lra_padded_n(n: int, vector_sharding) -> int:
+    """Padded vector length: n rounded up to the sharding axis size."""
+    mesh_, ax_ = vector_sharding
+    k = int(mesh_.shape[ax_])
+    return -(-n // k) * k
+
+
+def _lra_vector_specs(mesh_, ax_, with_mu):
+    """shard_map specs for (LRAState, mu): rows on ``ax_``, scalars
+    replicated."""
+    from jax.sharding import PartitionSpec as PS
+    st = lra_p.LRAState(u=PS(ax_, None), v=PS(ax_, None), d=PS(ax_, None),
+                        lu=PS(), lv=PS(), ld=PS())
+    return st, (PS(ax_) if with_mu else None)
+
+
 def scale_by_lra_whiten(
     rank_of_approximation: int = 10,
     preconditioner_init_scale: Optional[float] = None,
@@ -924,8 +940,17 @@ def scale_by_lra_whiten(
     update_preconditioner_first: bool = True,
     whiten_grad: bool = True,
     preconditioner_dtype: Any = None,
+    vector_sharding: Optional[Tuple[Any, str]] = None,
     seed: int = 0,
 ) -> optax.GradientTransformation:
+    """``vector_sharding=(mesh, axis)`` runs the global LRA preconditioner
+    ZeRO-style: U/V/d (and momentum) are row-sharded over ``axis``, the
+    concat gradient vector is consumed shard-local, and the whole fit +
+    apply runs under shard_map with only r-sized psum/pmax collectives
+    (precond/lra.py module docstring).  State memory and update FLOPs scale
+    1/k with k devices; the vector is zero-padded to a multiple of k (exact
+    no-op rows).  The probe stream is drawn per shard, so trajectories
+    differ from the replicated transform by probe realization only."""
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
     if not whiten_grad and momentum == 0.0:
         raise ValueError("Cannot whiten momentum with momentum == 0")
@@ -937,7 +962,11 @@ def scale_by_lra_whiten(
         scale0 = 1.0 if preconditioner_init_scale is None else preconditioner_init_scale
         st = lra_p.init_lra(n, rank_of_approximation, jax.random.key(seed + 1),
                             scale0, dt)
-        mu = (jnp.zeros(vec.shape, momentum_dtype or vec.dtype)
+        n_state = n
+        if vector_sharding is not None:
+            n_state = _lra_padded_n(n, vector_sharding)
+            st = lra_p.pad_lra_state(st, n_state - n)
+        mu = (jnp.zeros((n_state,), momentum_dtype or vec.dtype)
               if momentum > 0 else None)
         return PSGDState(count=jnp.zeros((), jnp.int32), key=jax.random.PRNGKey(seed),
                          mu=mu, precond=st)
@@ -948,8 +977,27 @@ def scale_by_lra_whiten(
         st = state.precond
         qdt = st.d.dtype
 
+        key, k_gate, k_fit = jax.random.split(state.key, 3)
+        do_update = (jax.random.uniform(k_gate)
+                     < _sched(preconditioner_update_probability, state.count))
+        lr_q = _sched(lr_preconditioner, state.count)
+        beta_l_t = _sched(betaL, state.count)
+        damping_t = _sched(damping, state.count)
+        amps = tuple(_sched(a, state.count) for a in grad_clip_max_amps)
+
+        if vector_sharding is not None:
+            pre, st, mu = _lra_whiten_sharded(
+                g_vec, st, state.mu, state.count, k_fit, do_update,
+                lr_q, beta_l_t, damping_t, amps,
+                vector_sharding, momentum, whiten_grad,
+                preconditioner_init_scale, update_preconditioner_first)
+            new_state = PSGDState(count=state.count + 1, key=key, mu=mu,
+                                  precond=st)
+            return unravel(pre[:g_vec.size]), new_state
+
         if preconditioner_init_scale is None:
-            scale = (jnp.mean(g_vec.astype(jnp.float32) ** 4) + damping ** 4) ** (-1 / 8)
+            scale = (jnp.mean(g_vec.astype(jnp.float32) ** 4)
+                     + damping_t ** 4) ** (-1 / 8)
             mult = jnp.where(state.count == 0, scale, 1.0).astype(qdt)
             st = st._replace(d=st.d * mult)
 
@@ -958,23 +1006,17 @@ def scale_by_lra_whiten(
         else:
             mu = None
 
-        key, k_gate, k_fit = jax.random.split(state.key, 3)
-        do_update = (jax.random.uniform(k_gate)
-                     < _sched(preconditioner_update_probability, state.count))
         fit_src = (g_vec if whiten_grad else mu).astype(qdt)
 
         def fit(s):
             return lra_p.update_lra_whiten(
-                s, fit_src, k_fit,
-                lr=_sched(lr_preconditioner, state.count),
-                beta_l=_sched(betaL, state.count),
-                damping=_sched(damping, state.count))
+                s, fit_src, k_fit, lr=lr_q, beta_l=beta_l_t,
+                damping=damping_t)
 
         def apply(s):
             src = (mu if momentum > 0 else g_vec).astype(qdt)
             pg = lra_p.precond_grad(s, src).astype(g_vec.dtype)
-            return _amp_clip(pg, *(
-                _sched(a, state.count) for a in grad_clip_max_amps))
+            return _amp_clip(pg, *amps)
 
         if update_preconditioner_first:
             st = jax.lax.cond(do_update, fit, lambda s: s, st)
@@ -987,6 +1029,78 @@ def scale_by_lra_whiten(
         return unravel(pre), new_state
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _lra_whiten_sharded(g_vec, st, mu0, count, k_fit, do_update, lr_q,
+                        beta_l_t, damping_t, amps, vector_sharding, momentum,
+                        whiten_grad, init_scale, update_first):
+    """One sharded LRA-whiten step: pad the gradient vector, shard rows over
+    the mesh axis, and run init-scale + EMA + fit + apply entirely inside
+    shard_map (all cross-shard traffic is r-sized — precond/lra.py)."""
+    from jax.sharding import PartitionSpec as PS
+    from ..utils.compat import shard_map
+
+    mesh_, ax_ = vector_sharding
+    n_true = g_vec.size
+    n_pad = _lra_padded_n(n_true, vector_sharding)
+    g_p = jnp.pad(g_vec, (0, n_pad - n_true))
+    st_specs, mu_spec = _lra_vector_specs(mesh_, ax_, momentum > 0)
+    scalars = [jnp.asarray(x) for x in
+               (count, do_update, lr_q, beta_l_t, damping_t, *amps)]
+
+    def local(g_loc, s, mu, k_fit, count, gate, lr_q, beta_l_t, damping_t,
+              amp_avg, amp_el):
+        qdt = s.d.dtype
+        n_loc = g_loc.shape[0]
+        rows = jax.lax.axis_index(ax_) * n_loc + jnp.arange(n_loc)
+        mask = (rows < n_true)[:, None]
+
+        if init_scale is None:
+            g4 = jax.lax.psum(
+                jnp.sum(jnp.abs(g_loc.astype(jnp.float32)) ** 4), ax_)
+            scale = (g4 / n_true + damping_t ** 4) ** (-1 / 8)
+            mult = jnp.where(count == 0, scale, 1.0).astype(qdt)
+            s = s._replace(d=jnp.where(mask, s.d * mult, s.d))
+
+        if momentum > 0:
+            mu = _ema_update(mu, g_loc, count, momentum)
+        else:
+            mu = None
+
+        fit_src = (g_loc if whiten_grad else mu).astype(qdt)
+
+        def fit(x):
+            return lra_p.update_lra_whiten(
+                x, fit_src, k_fit, lr=lr_q, beta_l=beta_l_t,
+                damping=damping_t, axis_name=ax_, pad_mask=mask)
+
+        def apply(x):
+            src = (mu if momentum > 0 else g_loc).astype(qdt)
+            pg = lra_p.precond_grad(x, src, axis_name=ax_).astype(g_loc.dtype)
+            rdt = real_dtype_of(pg.dtype)
+            sq = jax.lax.psum(
+                jnp.sum(jnp.real(pg * jnp.conj(pg)).astype(jnp.float32)), ax_)
+            avg_amp = jnp.sqrt(sq / n_true)
+            pg = pg * jnp.minimum(
+                1.0, amp_avg / jnp.maximum(avg_amp, 1e-30)).astype(rdt)
+            max_el = jnp.asarray(amp_el, rdt)
+            if jnp.issubdtype(pg.dtype, jnp.complexfloating):
+                return pg / jnp.maximum(jnp.abs(pg) / max_el, 1.0)
+            return jnp.clip(pg, -max_el, max_el)
+
+        if update_first:
+            s = jax.lax.cond(gate, fit, lambda x: x, s)
+            pre = apply(s)
+        else:
+            pre = apply(s)
+            s = jax.lax.cond(gate, fit, lambda x: x, s)
+        return pre, s, mu
+
+    fn = shard_map(local, mesh=mesh_,
+                   in_specs=(PS(ax_), st_specs, mu_spec, PS(),
+                             *([PS()] * len(scalars))),
+                   out_specs=(PS(ax_), st_specs, mu_spec))
+    return fn(g_p, st, mu0, k_fit, *scalars)
 
 
 def lra_whiten(learning_rate: float | Callable = 1e-3,
@@ -1007,17 +1121,26 @@ def scale_by_lra_newton(
     grad_clip_max_norm: float | Callable = float("inf"),
     preconditioner_update_probability: float | Callable = 1.0,
     preconditioner_dtype: Any = None,
+    vector_sharding: Optional[Tuple[Any, str]] = None,
     seed: int = 0,
 ) -> optax.GradientTransformationExtraArgs:
+    """``vector_sharding=(mesh, axis)``: ZeRO-style row sharding of the
+    global LRA state and update, as in :func:`scale_by_lra_whiten`.  The
+    Hessian-vector product itself is tree-level (the model's own sharding
+    applies); only the raveled (v, h) vectors enter the shard_map."""
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
 
     def init_fn(params):
         vec, _ = _ravel(params)
+        n_state = vec.size
         dt = preconditioner_dtype if preconditioner_dtype is not None else vec.dtype
         scale0 = 1.0 if preconditioner_init_scale is None else preconditioner_init_scale
         st = lra_p.init_lra(vec.size, rank_of_approximation,
                             jax.random.key(seed + 1), scale0, dt)
-        mu = (jnp.zeros(vec.shape, momentum_dtype or vec.dtype)
+        if vector_sharding is not None:
+            n_state = _lra_padded_n(vec.size, vector_sharding)
+            st = lra_p.pad_lra_state(st, n_state - vec.size)
+        mu = (jnp.zeros((n_state,), momentum_dtype or vec.dtype)
               if momentum > 0 else None)
         return PSGDState(count=jnp.zeros((), jnp.int32), key=jax.random.PRNGKey(seed),
                          mu=mu, precond=st)
@@ -1030,18 +1153,56 @@ def scale_by_lra_newton(
         qdt = st.d.dtype
 
         key, k_gate, k_v, k_fit = jax.random.split(state.key, 4)
+        lr_q = _sched(lr_preconditioner, state.count)
+        beta_l_t = _sched(betaL, state.count)
+        damping_t = _sched(damping, state.count)
+        max_norm = _sched(grad_clip_max_norm, state.count)
+
+        if vector_sharding is not None:
+            pred = jnp.logical_or(
+                jax.random.uniform(k_gate)
+                < _sched(preconditioner_update_probability, state.count),
+                state.count == 0)
+            if hvp_fn is not None:
+                if params is None:
+                    raise ValueError("lra_newton with hvp_fn requires params")
+
+                # Hvp stays lazy: the cond is at tree level, outside the
+                # shard_map; the skip branch only writes zeros.
+                def mk_vh(_):
+                    vs_ = rand_like_tree(k_v, params)
+                    _, hvs_ = hvp_fn(params, vs_)
+                    return _ravel(vs_)[0], _ravel(hvs_)[0]
+
+                p_vec = _ravel(params)[0]
+                v_vec, h_vec = jax.lax.cond(
+                    pred, mk_vh,
+                    lambda _: (jnp.zeros_like(p_vec), jnp.zeros_like(p_vec)),
+                    None)
+            elif vs is not None and hvs is not None:
+                pred = jnp.asarray(True)
+                v_vec, h_vec = _ravel(vs)[0], _ravel(hvs)[0]
+            else:
+                raise ValueError(
+                    "lra_newton requires hvp_fn or explicit (vs, hvs)")
+            pre, st, mu = _lra_newton_sharded(
+                g_vec, v_vec, h_vec, st, state.mu, state.count, k_fit, pred,
+                lr_q, beta_l_t, damping_t, max_norm, vector_sharding,
+                momentum, preconditioner_init_scale)
+            new_state = PSGDState(count=state.count + 1, key=key, mu=mu,
+                                  precond=st)
+            return unravel(pre[:g_vec.size]), new_state
 
         def fit(s, v_vec, h_vec):
             if preconditioner_init_scale is None:
                 scale = (jnp.mean(v_vec.astype(jnp.float32) ** 2) ** 0.25 *
-                         (jnp.mean(h_vec.astype(jnp.float32) ** 4) + damping ** 4) ** (-1 / 8))
+                         (jnp.mean(h_vec.astype(jnp.float32) ** 4)
+                          + damping_t ** 4) ** (-1 / 8))
                 mult = jnp.where(state.count == 0, scale, 1.0).astype(qdt)
                 s = s._replace(d=s.d * mult)
             return lra_p.update_lra_newton(
                 s, v_vec.astype(qdt), h_vec.astype(qdt), k_fit,
-                lr=_sched(lr_preconditioner, state.count),
-                beta_l=_sched(betaL, state.count),
-                damping=_sched(damping, state.count))
+                lr=lr_q, beta_l=beta_l_t, damping=damping_t)
 
         if hvp_fn is not None:
             if params is None:
@@ -1069,12 +1230,75 @@ def scale_by_lra_newton(
             mu, src = None, g_vec
 
         pre = lra_p.precond_grad(st, src.astype(qdt)).astype(g_vec.dtype)
-        pre = pre * _global_norm_scale(
-            pre, _sched(grad_clip_max_norm, state.count))
+        pre = pre * _global_norm_scale(pre, max_norm)
         new_state = PSGDState(count=state.count + 1, key=key, mu=mu, precond=st)
         return unravel(pre), new_state
 
     return optax.GradientTransformationExtraArgs(init_fn, update_fn)
+
+
+def _lra_newton_sharded(g_vec, v_vec, h_vec, st, mu0, count, k_fit, pred,
+                        lr_q, beta_l_t, damping_t, max_norm, vector_sharding,
+                        momentum, init_scale):
+    """One sharded LRA-Newton step (see _lra_whiten_sharded)."""
+    from jax.sharding import PartitionSpec as PS
+    from ..utils.compat import shard_map
+
+    mesh_, ax_ = vector_sharding
+    n_true = g_vec.size
+    n_pad = _lra_padded_n(n_true, vector_sharding)
+    pad = (0, n_pad - n_true)
+    g_p, v_p, h_p = (jnp.pad(x, pad) for x in (g_vec, v_vec, h_vec))
+    st_specs, mu_spec = _lra_vector_specs(mesh_, ax_, momentum > 0)
+    inf_norm = isinstance(max_norm, (int, float)) and math.isinf(max_norm)
+    scalars = [jnp.asarray(x) for x in
+               (count, pred, lr_q, beta_l_t, damping_t)
+               + (() if inf_norm else (max_norm,))]
+
+    def local(g_loc, v_loc, h_loc, s, mu, k_fit, count, pred, lr_q,
+              beta_l_t, damping_t, *rest):
+        qdt = s.d.dtype
+        n_loc = g_loc.shape[0]
+        rows = jax.lax.axis_index(ax_) * n_loc + jnp.arange(n_loc)
+        mask = (rows < n_true)[:, None]
+
+        def fit(x):
+            if init_scale is None:
+                v2 = jax.lax.psum(
+                    jnp.sum(jnp.abs(v_loc.astype(jnp.float32)) ** 2), ax_)
+                h4 = jax.lax.psum(
+                    jnp.sum(jnp.abs(h_loc.astype(jnp.float32)) ** 4), ax_)
+                scale = ((v2 / n_true) ** 0.25 *
+                         (h4 / n_true + damping_t ** 4) ** (-1 / 8))
+                mult = jnp.where(count == 0, scale, 1.0).astype(qdt)
+                x = x._replace(d=jnp.where(mask, x.d * mult, x.d))
+            return lra_p.update_lra_newton(
+                x, v_loc.astype(qdt), h_loc.astype(qdt), k_fit,
+                lr=lr_q, beta_l=beta_l_t, damping=damping_t,
+                axis_name=ax_, pad_mask=mask)
+
+        s = jax.lax.cond(pred, fit, lambda x: x, s)
+
+        if momentum > 0:
+            mu = _ema_update(mu, g_loc, count, momentum)
+            src = mu
+        else:
+            mu, src = None, g_loc
+
+        pre = lra_p.precond_grad(s, src.astype(qdt),
+                                 axis_name=ax_).astype(g_loc.dtype)
+        if not inf_norm:
+            sq = jax.lax.psum(
+                jnp.sum(jnp.real(pre * jnp.conj(pre))), ax_)
+            pre = pre * jnp.minimum(
+                1.0, rest[0] / jnp.maximum(jnp.sqrt(sq), 1e-38))
+        return pre, s, mu
+
+    fn = shard_map(local, mesh=mesh_,
+                   in_specs=(PS(ax_), PS(ax_), PS(ax_), st_specs, mu_spec,
+                             PS(), *([PS()] * len(scalars))),
+                   out_specs=(PS(ax_), st_specs, mu_spec))
+    return fn(g_p, v_p, h_p, st, mu0, k_fit, *scalars)
 
 
 def lra_newton(learning_rate: float | Callable = 0.01,

@@ -3,6 +3,7 @@
 from .mesh import (
     drift_check,
     gpt2_partition_specs,
+    lra_state_specs,
     make_mesh,
     make_multihost_mesh,
     named_shardings,

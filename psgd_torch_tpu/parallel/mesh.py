@@ -283,6 +283,28 @@ def psgd_state_specs(param_specs: Any, state: PSGDState,
     return replicate(state)
 
 
+def lra_state_specs(state: Any, axis: str) -> Any:
+    """Shardings for a PSGDState holding a (vector-sharded) LRAState: U/V/d
+    and momentum row-sharded on ``axis``, scalars and the PRNG key
+    replicated — the state layout produced/consumed by the transforms'
+    ``vector_sharding=(mesh, axis)`` option (ZeRO-style global LRA; see
+    precond/lra.py).  Accepts a bare PSGDState or an optax.chain tuple."""
+    from ..precond.lra import LRAState
+
+    lra_specs = LRAState(u=PS(axis, None), v=PS(axis, None),
+                         d=PS(axis, None), lu=PS(), lv=PS(), ld=PS())
+
+    def one(st):
+        if isinstance(st, PSGDState) and isinstance(st.precond, LRAState):
+            mu = None if st.mu is None else PS(axis)
+            return PSGDState(count=PS(), key=PS(), mu=mu, precond=lra_specs)
+        return jax.tree_util.tree_map(lambda _: PS(), st)
+
+    if isinstance(state, tuple) and not isinstance(state, PSGDState):
+        return tuple(one(st) for st in state)
+    return one(state)
+
+
 def drift_check(tree: Any, mesh: Mesh, axis: str) -> Any:
     """Max |x - mean_over(axis)| per leaf: the SPMD debug analogue of the
     reference's resync broadcasts (wrapped_as_torch_optimizer_for_ddp.py:163-170).

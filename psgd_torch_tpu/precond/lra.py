@@ -18,6 +18,16 @@ Rank 0 reduces Q to a purely diagonal preconditioner (statically specialized:
 no LU solve is compiled).  TPU notes: the hot ops are (n, r) x (r, r) and
 (n, 1)-broadcast elementwise work — thin matmuls that XLA maps to the MXU
 when n is large; the r x r LU lives comfortably in VMEM.
+
+Sharded execution (no reference counterpart): every contraction in the LRA
+math reduces over the long ``n`` axis to an object of size O(r^2) or O(r) —
+so with U/V/d/v/h row-sharded over a mesh axis, the whole update runs on
+local shards with only r-sized ``psum``/``pmax`` collectives (ZeRO-style
+state + compute partitioning of the global preconditioner).  All public
+functions take ``axis_name=None``: pass the mesh axis name when calling
+under ``shard_map`` with the (n, .) operands row-sharded on that axis.
+Rows may be zero-padded to make n divisible by the axis size — zero rows of
+U/V and unit rows of d are exact no-ops of the update (``pad_lra_state``).
 """
 
 from __future__ import annotations
@@ -65,34 +75,68 @@ def init_lra(n: int, rank: int, key: jax.Array, scale: float | jax.Array = 1.0,
     return LRAState(u=u, v=v, d=d, lu=zero, lv=zero, ld=zero)
 
 
-def ip_uvt_matvec(u: jax.Array, v: jax.Array, x: jax.Array) -> jax.Array:
+def _rsum(x: jax.Array, axis_name=None) -> jax.Array:
+    """Identity locally; cross-shard sum under shard_map (r-sized payload)."""
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+
+def _rmax(x: jax.Array, axis_name=None) -> jax.Array:
+    return jax.lax.pmax(x, axis_name) if axis_name is not None else x
+
+
+def _gnorm(x: jax.Array, axis_name=None) -> jax.Array:
+    """Frobenius norm, globally over row shards when ``axis_name`` is set."""
+    if axis_name is None:
+        return jnp.linalg.norm(x)
+    sq = jnp.sum(jnp.real(x * jnp.conj(x)))
+    return jnp.sqrt(jax.lax.psum(sq, axis_name))
+
+
+def ip_uvt_matvec(u: jax.Array, v: jax.Array, x: jax.Array,
+                  axis_name=None) -> jax.Array:
     """(I + U V^T) x for column-vector / matrix x (psgd.py:987-991)."""
-    return x + u @ (v.T @ x)
+    return x + u @ _rsum(v.T @ x, axis_name)
 
 
-def precond_grad(state: LRAState, g: jax.Array) -> jax.Array:
+def precond_grad(state: LRAState, g: jax.Array, axis_name=None) -> jax.Array:
     """P g with P = Q^T Q, Q = (I + U V^T) diag(d) (psgd.py:1055-1063).
 
     Accepts (n,) or (n, 1); returns the same shape."""
     squeeze = g.ndim == 1
     g2 = g[:, None] if squeeze else g
-    out = ip_uvt_matvec(state.u, state.v, state.d * g2)
-    out = state.d * ip_uvt_matvec(state.v, state.u, out)
+    out = ip_uvt_matvec(state.u, state.v, state.d * g2, axis_name)
+    out = state.d * ip_uvt_matvec(state.v, state.u, out, axis_name)
     return out[:, 0] if squeeze else out
 
 
-def log_det(state: LRAState) -> jax.Array:
+def log_det(state: LRAState, axis_name=None) -> jax.Array:
     """log |det Q| = sum log d + log |det(I + V^T U)| (matrix determinant
     lemma).  At the Newton fixed point P = Q^T Q = H^-1, so
     log det(Hessian) = -2 log det Q — the model-description-length estimate
     of reference misc/how_psgd_generalize.py:162-169.  Computed in fp32+."""
     d32 = lift2single(state.d)
-    out = jnp.sum(jnp.log(jnp.abs(d32)))
+    out = _rsum(jnp.sum(jnp.log(jnp.abs(d32))), axis_name)
     if state.rank > 0:
         small = jnp.eye(state.rank, dtype=d32.dtype) \
-            + lift2single(state.v).T @ lift2single(state.u)
+            + _rsum(lift2single(state.v).T @ lift2single(state.u), axis_name)
         out = out + jnp.linalg.slogdet(small)[1]
     return out
+
+
+def pad_lra_state(state: LRAState, extra: int) -> LRAState:
+    """Append ``extra`` exact no-op rows (U/V rows = 0, d rows = 1) so n
+    divides a mesh axis size.  Zero U/V rows stay exactly zero under
+    ``update_lra`` (every row update is left-multiplied by the row's own
+    a/b/u/w entries), unit d rows never move when the probe/h rows are 0,
+    and zero rows contribute nothing to any cross-row contraction — the
+    padded state's update and ``precond_grad`` restricted to the true rows
+    are identical to the unpadded ones."""
+    if extra == 0:
+        return state
+    u = jnp.pad(state.u, ((0, extra), (0, 0)))
+    v = jnp.pad(state.v, ((0, extra), (0, 0)))
+    d = jnp.pad(state.d, ((0, extra), (0, 0)), constant_values=1.0)
+    return state._replace(u=u, v=v, d=d)
 
 
 def _max_update(lip, ell, beta_l):
@@ -101,10 +145,14 @@ def _max_update(lip, ell, beta_l):
 
 
 def update_lra(state: LRAState, v: jax.Array, h: jax.Array, key: jax.Array,
-               lr: float = 0.1, beta_l: float = 0.9) -> LRAState:
+               lr: float = 0.1, beta_l: float = 0.9,
+               axis_name=None) -> LRAState:
     """Raw LRA update with a (v, h) pair; damping handled by the wrappers.
 
-    Reference parity: update_precond_lra (psgd.py:994-1052)."""
+    Reference parity: update_precond_lra (psgd.py:994-1052).  With
+    ``axis_name`` set (under shard_map, operands row-sharded) every
+    n-reduction becomes an r-sized psum/pmax — see the module docstring;
+    ``key`` must be replicated so the U-vs-V coin agrees across shards."""
     if v.ndim == 1:
         v = v[:, None]
     if h.ndim == 1:
@@ -119,14 +167,15 @@ def update_lra(state: LRAState, v: jax.Array, h: jax.Array, key: jax.Array,
         ph = d * qh
         inv_pv = (v / d) / d
         phh, vinvpv = ph * h, v * inv_pv
-        ell = jnp.max(jnp.abs(phh)) + jnp.max(jnp.abs(vinvpv))
+        ell = (_rmax(jnp.max(jnp.abs(phh)), axis_name)
+               + _rmax(jnp.max(jnp.abs(vinvpv)), axis_name))
         ld = _max_update(state.ld, ell, beta_l)
         d = d - (lr / ld).astype(rdt) * (phh - vinvpv) * d
         return state._replace(d=d, ld=ld)
 
     # --- approximate balancing of U and V toward U^T U = V^T V ------------
-    utu = u.T @ u
-    vtv = w.T @ w
+    utu = _rsum(u.T @ u, axis_name)
+    vtv = _rsum(w.T @ w, axis_name)
     tr_u = jnp.trace(utu)
     tr_v = jnp.trace(vtv)
     rho = (tr_u / tr_v) ** 0.25
@@ -139,21 +188,24 @@ def update_lra(state: LRAState, v: jax.Array, h: jax.Array, key: jax.Array,
     w = w + w @ (e + e2)
 
     # --- P h and inv(P^T) v through the small (r, r) LU solve --------------
-    qh = ip_uvt_matvec(u, w, d * h)
-    ph = d * ip_uvt_matvec(w, u, qh)
+    qh = ip_uvt_matvec(u, w, d * h, axis_name)
+    ph = d * ip_uvt_matvec(w, u, qh, axis_name)
 
-    ip_vtu = w.T @ u + jnp.eye(rank, dtype=u.dtype)
+    ip_vtu = _rsum(w.T @ u, axis_name) + jnp.eye(rank, dtype=u.dtype)
     lu_fac, piv = jsl.lu_factor(lift2single(ip_vtu))
     inv_qtv = v / d
-    sol1 = jsl.lu_solve((lu_fac, piv), lift2single(u.T @ inv_qtv), trans=1)
+    sol1 = jsl.lu_solve((lu_fac, piv),
+                        lift2single(_rsum(u.T @ inv_qtv, axis_name)), trans=1)
     inv_qtv = inv_qtv - w @ sol1.astype(u.dtype)
-    sol2 = jsl.lu_solve((lu_fac, piv), lift2single(w.T @ inv_qtv), trans=0)
+    sol2 = jsl.lu_solve((lu_fac, piv),
+                        lift2single(_rsum(w.T @ inv_qtv, axis_name)), trans=0)
     inv_pv = inv_qtv - u @ sol2.astype(u.dtype)
     inv_pv = inv_pv / d
 
     # --- update d -----------------------------------------------------------
     phh, vinvpv = ph * h, v * inv_pv
-    ell = jnp.max(jnp.abs(phh)) + jnp.max(jnp.abs(vinvpv))
+    ell = (_rmax(jnp.max(jnp.abs(phh)), axis_name)
+           + _rmax(jnp.max(jnp.abs(vinvpv)), axis_name))
     ld = _max_update(state.ld, ell, beta_l)
     d = d - (lr / ld).astype(rdt) * (phh - vinvpv) * d
 
@@ -162,24 +214,24 @@ def update_lra(state: LRAState, v: jax.Array, h: jax.Array, key: jax.Array,
 
     def upd_u(ops):
         u, w, lu, lv = ops
-        atv = a.T @ w
-        btv = b.T @ w
+        atv = _rsum(a.T @ w, axis_name)
+        btv = _rsum(b.T @ w, axis_name)
         atvvt = atv @ w.T
         btvvt = btv @ w.T
-        ell = (jnp.linalg.norm(a) * jnp.linalg.norm(atvvt)
-               + jnp.linalg.norm(b) * jnp.linalg.norm(btvvt))
+        ell = (_gnorm(a, axis_name) * _gnorm(atvvt, axis_name)
+               + _gnorm(b, axis_name) * _gnorm(btvvt, axis_name))
         lu = _max_update(lu, ell, beta_l)
         u = u - (lr / lu).astype(rdt) * (a @ (atv @ ip_vtu) - b @ (btv @ ip_vtu))
         return u, w, lu, lv
 
     def upd_v(ops):
         u, w, lu, lv = ops
-        atu = a.T @ u
-        btu = b.T @ u
+        atu = _rsum(a.T @ u, axis_name)
+        btu = _rsum(b.T @ u, axis_name)
         uuta = u @ atu.T
         uutb = u @ btu.T
-        ell = (jnp.linalg.norm(a) * jnp.linalg.norm(uuta)
-               + jnp.linalg.norm(b) * jnp.linalg.norm(uutb))
+        ell = (_gnorm(a, axis_name) * _gnorm(uuta, axis_name)
+               + _gnorm(b, axis_name) * _gnorm(uutb, axis_name))
         lv = _max_update(lv, ell, beta_l)
         w = w - (lr / lv).astype(rdt) * ((a + w @ atu.T) @ atu - (b + w @ btu.T) @ btu)
         return u, w, lu, lv
@@ -189,25 +241,47 @@ def update_lra(state: LRAState, v: jax.Array, h: jax.Array, key: jax.Array,
     return LRAState(u=u, v=w, d=d, lu=lu, lv=lv, ld=ld)
 
 
+def _shard_noise(key: jax.Array, shape, dtype, axis_name, pad_mask):
+    """Per-shard probe stream: fold the shard index into the (replicated)
+    key so shards draw independent rows, and zero the pad rows so padded
+    state stays an exact no-op.  Unsharded (axis_name=None) this is the
+    plain replicated draw."""
+    if axis_name is not None:
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+    noise = jax.random.normal(key, shape, dtype)
+    if pad_mask is not None:
+        noise = noise * pad_mask.astype(dtype)
+    return noise
+
+
 def update_lra_whiten(state: LRAState, g: jax.Array, key: jax.Array,
                       lr: float = 0.1, beta_l: float = 0.9,
-                      damping: float = 1e-9) -> LRAState:
-    """Whitening wrapper: synthesize v, damp g (psgd.py:1066-1072)."""
+                      damping: float = 1e-9, axis_name=None,
+                      pad_mask: jax.Array | None = None) -> LRAState:
+    """Whitening wrapper: synthesize v, damp g (psgd.py:1066-1072).
+
+    Under shard_map (``axis_name`` set) the probe is drawn per shard from
+    the replicated key + shard index; ``pad_mask`` ((n_local, 1), 1 on true
+    rows) zeroes the probe on zero-padded rows."""
     kv, ku = jax.random.split(key)
     g2 = g[:, None] if g.ndim == 1 else g
-    v = jax.random.normal(kv, g2.shape, g2.dtype)
+    v = _shard_noise(kv, g2.shape, g2.dtype, axis_name, pad_mask)
     eps = jnp.finfo(real_dtype_of(g2.dtype)).eps
     h = g2 + (damping + eps * jnp.abs(g2)) * v
-    return update_lra(state, v, h, ku, lr=lr, beta_l=beta_l)
+    return update_lra(state, v, h, ku, lr=lr, beta_l=beta_l,
+                      axis_name=axis_name)
 
 
 def update_lra_newton(state: LRAState, v: jax.Array, h: jax.Array,
                       key: jax.Array, lr: float = 0.1, beta_l: float = 0.9,
-                      damping: float = 1e-9) -> LRAState:
+                      damping: float = 1e-9, axis_name=None,
+                      pad_mask: jax.Array | None = None) -> LRAState:
     """Newton wrapper: damp the Hvp (psgd.py:1193-1198)."""
     kd, ku = jax.random.split(key)
     v2 = v[:, None] if v.ndim == 1 else v
     h2 = h[:, None] if h.ndim == 1 else h
     eps = jnp.finfo(real_dtype_of(h2.dtype)).eps
-    hd = h2 + (damping + eps * jnp.abs(h2)) * jax.random.normal(kd, h2.shape, h2.dtype)
-    return update_lra(state, v2, hd, ku, lr=lr, beta_l=beta_l)
+    hd = h2 + (damping + eps * jnp.abs(h2)) * _shard_noise(
+        kd, h2.shape, h2.dtype, axis_name, pad_mask)
+    return update_lra(state, v2, hd, ku, lr=lr, beta_l=beta_l,
+                      axis_name=axis_name)
