@@ -447,7 +447,8 @@ def scale_by_kron_whiten(
     (SURVEY.md §7 "Sharded factor updates"), keeping one GLOBAL Q per leaf —
     same math as replicated, ~1/k compute per device.  Pair with
     ``psgd_state_specs(..., factor_sharding_params=params)`` so diag factors
-    live sharded along their dims.  Q0.5EQ1.5 and QUAD geometries.
+    live sharded along their dims.  Matmul-only geometries (Q0.5EQ1.5,
+    QUAD, QEQ).
     """
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
@@ -706,7 +707,7 @@ def scale_by_kron_newton(
     mirror scale_by_kron_whiten: stacked leaves fit + apply under an
     explicit layer-axis shard_map (ZeRO-style Q partitioning), and
     dim-sharded non-stacked leaves (embeddings) fit with local contractions
-    + psum on one global Q (Q0.5EQ1.5 and QUAD).  The fit source here is the
+    + psum on one global Q (Q0.5EQ1.5, QUAD, QEQ).  The fit source here is the
     (v, Hvp) pair instead of the gradient.
     """
     dq = kron_p.canonical_dq(dq)

@@ -54,7 +54,7 @@ DQ_PRO4P = "PRO4P"
 ALL_DQ = (DQ_EQ, DQ_QEP, DQ_QEQ, DQ_QUAD, DQ_Q05EQ15, DQ_QUAD4P, DQ_PRO4P)
 _FIT_P = frozenset({DQ_QUAD4P, DQ_PRO4P})
 # geometries the dim-sharded (factor_sharding) update implements
-DIM_SHARDABLE_DQS = frozenset({DQ_Q05EQ15, DQ_QUAD})
+DIM_SHARDABLE_DQS = frozenset({DQ_Q05EQ15, DQ_QUAD, DQ_QEQ})
 
 
 def canonical_dq(dq: str) -> str:
@@ -983,7 +983,7 @@ def _update_kron_dim_sharded(
         do_update, mode, lr, beta_l, damping, norm_k, fit_first):
     if plan.dq not in DIM_SHARDABLE_DQS:
         raise NotImplementedError(
-            "dim-sharded update supports Q0.5EQ1.5 and QUAD")
+            "dim-sharded update supports Q0.5EQ1.5, QUAD and QEQ")
     eff_axes, moves, gather_dims = reshard_plan
 
     def to_compute(x):
@@ -1037,6 +1037,7 @@ def _update_kron_dim_sharded(
             else:
                 term2 = plan.numel / plan.shape[i]
             quad = plan.dq == DQ_QUAD
+            qeq = plan.dq == DQ_QEQ
             lr_eff = lr / 2.0 if quad else lr
             if plan.is_diag[i]:
                 ell = jnp.max(jnp.real(term1 + term2))
@@ -1063,6 +1064,19 @@ def _update_kron_dim_sharded(
                     p = f - c * (term1 @ f - term2 * f)
                     p = p - c * (p @ term1 - term2 * p)
                 fq = 0.5 * (p + jnp.conj(p.T))
+            elif qeq:
+                # dQ = Q*E*Q: left-multiplied step, no Procrustes retraction
+                # (_whiten_qeq / _newton_qeq under the psum'd terms)
+                if mode == "newton":
+                    ell = norm_lower_bound_spd(
+                        term1 + term2, jax.random.fold_in(krest, i), k=norm_k)
+                    lip = _update_lips(st.lips[i], ell, beta_l)
+                    fq = f - _coeff(lr, lip, f.dtype) * (f @ (term1 - term2))
+                else:
+                    ell = norm_lower_bound_spd(
+                        term1, jax.random.fold_in(krest, i), k=norm_k) + term2
+                    lip = _update_lips(st.lips[i], ell, beta_l)
+                    fq = f - _coeff(lr, lip, f.dtype) * (f @ term1 - term2 * f)
             elif mode == "newton":
                 if _fused_ns_enabled(f.shape[0], f.dtype):
                     fq, lip = _fused_ns_step(

@@ -403,7 +403,7 @@ def test_dim_sharded_124m_proportions_flops_scale():
     assert efficiency > 0.85, f"124M Q-update scaling {efficiency:.2%}"
 
 
-@pytest.mark.parametrize("dq", ["Q0.5EQ1.5", "QUAD"])
+@pytest.mark.parametrize("dq", ["Q0.5EQ1.5", "QUAD", "QEQ"])
 def test_dim_sharded_embedding_matches_plain_math(dq):
     """Dim-sharded whitening keeps ONE global preconditioner: its update
     direction agrees with the plain transform (PRNG streams differ only in
@@ -539,7 +539,7 @@ def test_stack_sharded_newton_matches_replicated():
         np.asarray(p_rep["blocks"]["mlp_fc_w"]), atol=1e-5)
 
 
-@pytest.mark.parametrize("dq", ["Q0.5EQ1.5", "QUAD"])
+@pytest.mark.parametrize("dq", ["Q0.5EQ1.5", "QUAD", "QEQ"])
 def test_dim_sharded_newton_embedding_matches_plain_math(dq):
     """Newton-mode factor_sharding: the dim-sharded (v, h) fit keeps one
     global preconditioner whose update direction agrees with the plain
