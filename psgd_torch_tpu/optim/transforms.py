@@ -48,6 +48,20 @@ from .hvp import rand_like_tree
 
 
 
+def _lazy_cond_zeros(pred, draw_fn):
+    """``lax.cond(pred, draw_fn, <zeros>)`` with the skip branch's avals
+    taken from ``draw_fn`` itself (via eval_shape), not from the params
+    tree — an hvp_fn is allowed to return Hvps in a dtype different from
+    the parameters (e.g. f32 Hvps over bf16 params)."""
+    shapes = jax.eval_shape(draw_fn, None)
+
+    def zeros(_):
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    return jax.lax.cond(pred, draw_fn, zeros, None)
+
+
 def _sched(value, count):
     """Resolve a static-or-schedule hyperparameter at the current step.
 
@@ -199,79 +213,55 @@ def _stacked_specs(st: "kron_p.KronState", axis):
 
 def _fit_apply_kron_leaf_layer_sharded(
         st, plan, key, mesh, axis, do_update, fit_src, apply_src,
-        out_dtype, clip_amps, fit_first=True, **fit_kw):
-    """Fit (gated on do_update) + apply + per-layer clip for one stacked
-    leaf, shard_mapped over the layer axis: each device runs the vmapped
-    update for exactly n_layer/k layers — compute scales 1/k by construction
-    instead of relying on GSPMD's partitioning choices.  Per-layer PRNG keys
-    are the same split as the unsharded path, sliced by shard position, so
-    results are bitwise-independent of k."""
-    from jax.sharding import PartitionSpec as PS
-    n_total = fit_src.shape[0]
+        out_dtype, clip_amps=None, fit_first=True, **fit_kw):
+    """Fit (gated on do_update) + apply (+ optional per-layer clip) for one
+    stacked leaf, shard_mapped over the layer axis: each device runs the
+    vmapped update for exactly n_layer/k layers — compute scales 1/k by
+    construction instead of relying on GSPMD's partitioning choices.
+    Per-layer PRNG keys are the same split as the unsharded path, sliced by
+    shard position, so results are bitwise-independent of k.
 
-    def local(st_loc, fit_loc, apply_loc, do_update):
-        n_loc = fit_loc.shape[0]
+    ``fit_src`` is the stacked gradient (whiten mode) or a ``(v, h)`` pair
+    (Newton mode; reference KronNewton applies post-fit and clips by global
+    norm at tree level, psgd.py:945-971 — pass clip_amps=None there)."""
+    from jax.sharding import PartitionSpec as PS
+    newton = isinstance(fit_src, tuple)
+    srcs = fit_src if newton else (fit_src,)
+    n_total = srcs[0].shape[0]
+
+    def local(st_loc, *rest):
+        *fit_loc, apply_loc, do_update = rest
+        n_loc = fit_loc[0].shape[0]
         idx = jax.lax.axis_index(tuple(axis) if isinstance(axis, (tuple, list))
                                  else axis)
         keys = jax.lax.dynamic_slice_in_dim(
             jax.random.split(key, n_total), idx * n_loc, n_loc)
 
         def fit(s):
+            shaped = [x.reshape((n_loc,) + plan.shape) for x in fit_loc]
+            if newton:
+                return kron_p.update_kron_newton_stacked(
+                    s, plan, shaped[0], shaped[1], keys, **fit_kw)
             return kron_p.update_kron_whiten_stacked(
-                s, plan, fit_loc.reshape((n_loc,) + plan.shape), keys,
-                **fit_kw)
+                s, plan, shaped[0], keys, **fit_kw)
 
         st_new = jax.lax.cond(do_update, fit, lambda s: s, st_loc)
         st_used = st_new if fit_first else st_loc
         pg = jax.vmap(lambda s, gg: kron_p.precond_grad(s, plan, gg))(
             st_used, apply_loc.reshape((n_loc,) + plan.shape))
-        pg = jax.vmap(lambda x: _amp_clip(x, *clip_amps))(pg.astype(out_dtype))
+        pg = pg.astype(out_dtype)
+        if clip_amps is not None:
+            pg = jax.vmap(lambda x: _amp_clip(x, *clip_amps))(pg)
         return st_new, pg
 
     from ..utils.compat import shard_map
     st_specs = _stacked_specs(st, axis)
     lead = lambda x: PS(axis, *([None] * (x.ndim - 1)))
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(st_specs, lead(fit_src), lead(apply_src), PS()),
-                   out_specs=(st_specs, lead(apply_src)))
-    return fn(st, fit_src, apply_src, do_update)
-
-
-def _fit_apply_kron_leaf_layer_sharded_newton(
-        st, plan, key, mesh, axis, do_update, v_src, h_src, apply_src,
-        out_dtype, **fit_kw):
-    """Newton-mode analogue of _fit_apply_kron_leaf_layer_sharded: fit from
-    per-layer (v, h) shard views + apply, shard_mapped over the layer axis.
-    Newton always applies post-fit (reference KronNewton, psgd.py:945-965);
-    the global-norm clip runs at tree level outside."""
-    from jax.sharding import PartitionSpec as PS
-    n_total = v_src.shape[0]
-
-    def local(st_loc, v_loc, h_loc, apply_loc, do_update):
-        n_loc = v_loc.shape[0]
-        idx = jax.lax.axis_index(tuple(axis) if isinstance(axis, (tuple, list))
-                                 else axis)
-        keys = jax.lax.dynamic_slice_in_dim(
-            jax.random.split(key, n_total), idx * n_loc, n_loc)
-
-        def fit(s):
-            return kron_p.update_kron_newton_stacked(
-                s, plan, v_loc.reshape((n_loc,) + plan.shape),
-                h_loc.reshape((n_loc,) + plan.shape), keys, **fit_kw)
-
-        st_new = jax.lax.cond(do_update, fit, lambda s: s, st_loc)
-        pg = jax.vmap(lambda s, gg: kron_p.precond_grad(s, plan, gg))(
-            st_new, apply_loc.reshape((n_loc,) + plan.shape))
-        return st_new, pg.astype(out_dtype)
-
-    from ..utils.compat import shard_map
-    st_specs = _stacked_specs(st, axis)
-    lead = lambda x: PS(axis, *([None] * (x.ndim - 1)))
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(st_specs, lead(v_src), lead(h_src),
+                   in_specs=(st_specs, *[lead(s) for s in srcs],
                              lead(apply_src), PS()),
                    out_specs=(st_specs, lead(apply_src)))
-    return fn(st, v_src, h_src, apply_src, do_update)
+    return fn(st, *srcs, apply_src, do_update)
 
 
 def _squeeze_spec(shape, spec) -> Tuple[Tuple[str, ...], ...]:
@@ -787,11 +777,7 @@ def scale_by_kron_newton(
                 _, hvs_ = hvp_fn(params, vs_)
                 return vs_, hvs_
 
-            def no_vh(_):
-                zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-                return zeros, zeros
-
-            vs, hvs = jax.lax.cond(pred, draw_vh, no_vh, None)
+            vs, hvs = _lazy_cond_zeros(pred, draw_vh)
         elif vs is not None and hvs is not None:
             pred = jnp.asarray(True)
         else:
@@ -854,9 +840,9 @@ def scale_by_kron_newton(
                 if not ls:
                     continue
                 qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
-                st_new, pg = _fit_apply_kron_leaf_layer_sharded_newton(
+                st_new, pg = _fit_apply_kron_leaf_layer_sharded(
                     st, plan, jax.random.fold_in(k_fit, i), mesh_, axis_,
-                    pred, v.astype(qdt), h.astype(qdt), src.astype(qdt),
+                    pred, (v.astype(qdt), h.astype(qdt)), src.astype(qdt),
                     g.dtype, lr=lr_q, beta_l=beta_l_t, damping=damping_t,
                     norm_k=resolve_norm_k(norm_k, qdt))
                 states_t[i] = st_new
@@ -1175,11 +1161,7 @@ def scale_by_lra_newton(
                     _, hvs_ = hvp_fn(params, vs_)
                     return _ravel(vs_)[0], _ravel(hvs_)[0]
 
-                p_vec = _ravel(params)[0]
-                v_vec, h_vec = jax.lax.cond(
-                    pred, mk_vh,
-                    lambda _: (jnp.zeros_like(p_vec), jnp.zeros_like(p_vec)),
-                    None)
+                v_vec, h_vec = _lazy_cond_zeros(pred, mk_vh)
             elif vs is not None and hvs is not None:
                 pred = jnp.asarray(True)
                 v_vec, h_vec = _ravel(vs)[0], _ravel(hvs)[0]

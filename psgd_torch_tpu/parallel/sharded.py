@@ -49,6 +49,7 @@ from ..optim.transforms import (
     _amp_clip,
     _ema_update,
     _global_norm_scale,
+    _lazy_cond_zeros,
     _sched,
     _squeezed_shape,
     _with_weight_decay,
@@ -234,11 +235,7 @@ def _per_shard_core(
                     _, hvs_ = hvp_fn(params, vs_)
                     return vs_, hvs_
 
-                def no_vh(_):
-                    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-                    return zeros, zeros
-
-                vs, hvs = jax.lax.cond(do_update, draw_vh, no_vh, None)
+                vs, hvs = _lazy_cond_zeros(do_update, draw_vh)
             elif vs is None or hvs is None:
                 raise ValueError(
                     "per-shard newton requires hvp_fn or explicit (vs, hvs)")

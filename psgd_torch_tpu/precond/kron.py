@@ -995,12 +995,9 @@ def _update_kron_dim_sharded(
                                    tiled=True)
         return x
 
-    if mode == "newton":
-        v, h = fit_src
-        v = to_compute(v)
-        h = to_compute(h)
-    else:
-        g = to_compute(fit_src)
+    # fit sources are resharded lazily INSIDE the gated fit below: at the
+    # production operating point (update probability annealed to ~0.01)
+    # off-steps must not pay the full-leaf all_gather/all_to_all traffic
     apply_src = to_compute(apply_src)
     diag_axes = [eff_axes[d] if plan.is_diag[d] else ()
                  for d in range(len(plan.shape))]
@@ -1018,9 +1015,13 @@ def _update_kron_dim_sharded(
     def fit(st):
         q = st.q
         if mode == "newton":
+            v, h = fit_src
+            v = to_compute(v)
+            h = to_compute(h)
             pg = jnp.einsum(plan.subs_p, *[jnp.conj(f) for f in q], *q,
                             _damped(h, kd, damping))
         else:
+            g = to_compute(fit_src)
             pg = jnp.einsum(plan.subs_p, *[jnp.conj(f) for f in q], *q,
                             _damped(g, kd, damping))
         new_q, new_l = [], []

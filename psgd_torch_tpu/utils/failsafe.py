@@ -86,8 +86,11 @@ class FailsafeLoop:
 
     def _snapshot(self) -> FailsafeState:
         # device-to-device copy so later donation/aliasing can't clobber it
-        copy = jax.tree_util.tree_map(lambda x: x + 0 if hasattr(x, "dtype")
-                                      else x, (self.params, self.opt_state))
+        # (jnp.copy: dtype-preserving, works on bool and typed PRNG-key
+        # leaves where ``x + 0`` would promote or raise)
+        copy = jax.tree_util.tree_map(lambda x: jnp.copy(x)
+                                      if hasattr(x, "dtype") else x,
+                                      (self.params, self.opt_state))
         if self.checkpoint_dir is not None:
             from . import checkpoint as ckpt
             ckpt.save_checkpoint(self.checkpoint_dir, self.step,

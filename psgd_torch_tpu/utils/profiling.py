@@ -4,6 +4,7 @@ uses ad-hoc time.time() in demos — SURVEY.md §5)."""
 from __future__ import annotations
 
 import contextlib
+import re
 import time
 from typing import Callable, Optional
 
@@ -20,10 +21,18 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "f8": 1,
-                "s64": 8, "s32": 4, "s16": 2, "s8": 1,
-                "u64": 8, "u32": 4, "u16": 2, "u8": 1, "pred": 1,
-                "c64": 8, "c128": 16}
+_DTYPE_BYTES = {"bf16": 2, "pred": 1}
+_DTYPE_BITS_PAT = re.compile(r"[fsuc](\d+)")
+
+
+def _dtype_bytes(dt: str) -> float:
+    """Bytes per element for an HLO dtype token.  Width-suffixed tokens
+    (f32, s4, u8, c128, f8e4m3fn, ...) are parsed from their leading bit
+    count, so fp8 variants and sub-byte int4 are sized correctly."""
+    if dt in _DTYPE_BYTES:
+        return _DTYPE_BYTES[dt]
+    m = _DTYPE_BITS_PAT.match(dt)
+    return int(m.group(1)) / 8 if m else 4
 
 
 def collective_bytes(compiled, per_op: bool = False):
@@ -54,7 +63,7 @@ def collective_bytes(compiled, per_op: bool = False):
             for d in dims.split(","):
                 if d:
                     n *= int(d)
-            total += n * _DTYPE_BYTES.get(dt, 4)
+            total += int(n * _dtype_bytes(dt))
         out[kind] = out.get(kind, 0) + total
     if per_op:
         return out

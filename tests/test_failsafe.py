@@ -84,3 +84,24 @@ def test_failsafe_checkpoint_integration(tmp_path):
     for _ in range(7):
         loop.run_step()
     assert ckpt.latest_step(str(tmp_path)) == 6
+
+
+def test_snapshot_preserves_key_and_bool_leaves():
+    """Generic (params, opt_state) pytrees may contain typed PRNG-key and
+    bool leaves; the rollback snapshot must copy them dtype-faithfully."""
+    params = {"w": jnp.ones((3,))}
+    opt_state = {"key": jax.random.key(7), "flag": jnp.array([True, False]),
+                 "mu": jnp.zeros((3,))}
+
+    def step_fn(p, s, lr_scale):
+        p = {"w": p["w"] * 0.9}
+        return p, s, jnp.sum(p["w"]), finite_check(p)
+
+    loop = FailsafeLoop(step_fn, params, opt_state, snapshot_every=1)
+    snap = loop._good
+    assert jnp.issubdtype(snap.opt_state["key"].dtype, jax.dtypes.prng_key)
+    assert snap.opt_state["flag"].dtype == jnp.bool_
+    np.testing.assert_array_equal(
+        jax.random.key_data(snap.opt_state["key"]),
+        jax.random.key_data(opt_state["key"]))
+    assert loop.run_step() is not None

@@ -337,3 +337,56 @@ def test_norm_k_auto_resolution():
     g = {"w": jnp.ones((16, 8), jnp.float32)}
     u, s = jax.jit(tx.update)(g, s)
     assert jnp.all(jnp.isfinite(u["w"]))
+
+
+def test_kron_newton_hvp_dtype_may_differ_from_params():
+    """An hvp_fn may return Hvps in a wider dtype than the params (f32
+    Hvps over bf16 params is a common stabilization); the lazy-Hvp gate's
+    skip branch must match those avals, not the params'."""
+    params = {"w": jnp.zeros((8, 4), jnp.bfloat16)}
+
+    def hvp_fn(p, v):
+        pf = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), p)
+        vf = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), v)
+        loss = lambda q: jnp.sum(q["w"].astype(jnp.float32) ** 2)
+        g, hv = jax.jvp(jax.grad(loss), (pf,), (vf,))
+        return g, hv
+
+    opt = popt.kron_newton(learning_rate=1e-2, preconditioner_init_scale=1.0,
+                           preconditioner_update_probability=0.5)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        g = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32) * 2, p)
+        up, s = opt.update(g, s, p, hvp_fn=hvp_fn)
+        return optax.apply_updates(p, up), s
+
+    for _ in range(4):
+        params, state = step(params, state)
+    assert jnp.isfinite(params["w"].astype(jnp.float32)).all()
+
+
+def test_lra_newton_hvp_dtype_may_differ_from_params():
+    params = {"w": jnp.zeros((16,), jnp.bfloat16)}
+
+    def hvp_fn(p, v):
+        loss = lambda q: jnp.sum(q["w"].astype(jnp.float32) ** 2)
+        pf = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), p)
+        vf = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), v)
+        return jax.jvp(jax.grad(loss), (pf,), (vf,))
+
+    opt = popt.lra_newton(learning_rate=1e-2, rank_of_approximation=2,
+                          preconditioner_init_scale=1.0,
+                          preconditioner_update_probability=0.5)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        g = jax.tree_util.tree_map(lambda x: x.astype(jnp.float32) * 2, p)
+        up, s = opt.update(g, s, p, hvp_fn=hvp_fn)
+        return optax.apply_updates(p, up), s
+
+    for _ in range(4):
+        params, state = step(params, state)
+    assert jnp.isfinite(params["w"].astype(jnp.float32)).all()
