@@ -1308,10 +1308,21 @@ def scale_by_dense_newton(
     dq: str = "Q0.5EQ1.5",
     preconditioner_dtype: Any = None,
     norm_k: Optional[int] = None,
+    vector_sharding: Optional[Tuple[Any, str]] = None,
     seed: int = 0,
 ) -> optax.GradientTransformationExtraArgs:
+    """``vector_sharding=(mesh, axis)``: ZeRO-style row sharding of the
+    full (n, n) dense Q over ``axis`` — state memory and fit/apply FLOPs
+    scale 1/k with k devices, with only (n,)-sized psums as collectives
+    (precond/dense.py row-sharded section).  Requires ``dq="QEQ"``, the
+    geometry whose dense update is transpose-free; the concat vector is
+    zero-padded to a multiple of k (exact no-op rows)."""
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
+    if vector_sharding is not None and dq != kron_p.DQ_QEQ:
+        raise ValueError(
+            "dense_newton vector_sharding supports dq='QEQ' only (the "
+            "transpose-free dense geometry); got dq=%r" % dq)
     _advisories(preconditioner_init_scale, True, 0.0, dq,
                 preconditioner_dtype)
 
@@ -1319,8 +1330,11 @@ def scale_by_dense_newton(
         vec, _ = _ravel(params)
         dt = preconditioner_dtype if preconditioner_dtype is not None else vec.dtype
         scale0 = 1.0 if preconditioner_init_scale is None else preconditioner_init_scale
-        st = dense_p.init_dense(vec.size, scale0, dq, dt)
-        mu = (jnp.zeros(vec.shape, momentum_dtype or vec.dtype)
+        n_state = vec.size
+        if vector_sharding is not None:
+            n_state = _lra_padded_n(vec.size, vector_sharding)
+        st = dense_p.init_dense(n_state, scale0, dq, dt)
+        mu = (jnp.zeros((n_state,), momentum_dtype or vec.dtype)
               if momentum > 0 else None)
         return PSGDState(count=jnp.zeros((), jnp.int32), key=jax.random.PRNGKey(seed),
                          mu=mu, precond=st)
@@ -1348,6 +1362,37 @@ def scale_by_dense_newton(
                 beta_l=_sched(betaL, state.count),
                 damping=_sched(damping, state.count),
                 norm_k=resolve_norm_k(norm_k, qdt))
+
+        if vector_sharding is not None:
+            if hvp_fn is not None:
+                if params is None:
+                    raise ValueError("dense_newton with hvp_fn requires params")
+                pred = jnp.logical_or(
+                    jax.random.uniform(k_gate)
+                    < _sched(preconditioner_update_probability, state.count),
+                    state.count == 0)
+
+                def mk_vh(_):
+                    vs_ = rand_like_tree(k_v, params)
+                    _, hvs_ = hvp_fn(params, vs_)
+                    return _ravel(vs_)[0], _ravel(hvs_)[0]
+
+                v_vec, h_vec = _lazy_cond_zeros(pred, mk_vh)
+            elif vs is not None and hvs is not None:
+                pred = jnp.asarray(True)
+                v_vec, h_vec = _ravel(vs)[0], _ravel(hvs)[0]
+            else:
+                raise ValueError(
+                    "dense_newton requires hvp_fn or explicit (vs, hvs)")
+            pre, st, mu = _dense_qeq_sharded(
+                g_vec, v_vec, h_vec, st, state.mu, state.count, k_fit, pred,
+                _sched(lr_preconditioner, state.count),
+                _sched(betaL, state.count), _sched(damping, state.count),
+                _sched(grad_clip_max_norm, state.count), vector_sharding,
+                momentum, preconditioner_init_scale)
+            new_state = PSGDState(count=state.count + 1, key=key, mu=mu,
+                                  precond=st)
+            return unravel(pre[:g_vec.size]), new_state
 
         if hvp_fn is not None:
             if params is None:
@@ -1381,6 +1426,74 @@ def scale_by_dense_newton(
         return unravel(pre), new_state
 
     return optax.GradientTransformationExtraArgs(init_fn, update_fn)
+
+
+def _dense_qeq_sharded(g_vec, v_vec, h_vec, st, mu0, count, k_fit, pred,
+                       lr_q, beta_l_t, damping_t, max_norm, vector_sharding,
+                       momentum, init_scale):
+    """One row-sharded dense-QEQ Newton step: pad the concat vectors, keep
+    them (and momentum) replicated — they are O(n) — and run the gated fit
+    + apply under shard_map with Q's rows sharded (precond/dense.py
+    row-sharded section; all collectives are (n,)-sized psums)."""
+    from jax.sharding import PartitionSpec as PS
+    from ..utils.compat import shard_map
+
+    mesh_, ax_ = vector_sharding
+    n_true = g_vec.size
+    n_pad = st.q.shape[0]
+    qdt = st.q.dtype
+    rdt = real_dtype_of(qdt)
+    pad = (0, n_pad - n_true)
+    g_p = jnp.pad(g_vec, pad)
+    v_p = jnp.pad(v_vec, pad).astype(qdt)
+    h_p = jnp.pad(h_vec, pad).astype(qdt)
+
+    if init_scale is None:
+        # same (v, h) statistics as the unsharded on-the-fly init
+        # (psgd.py:1523-1527; QEQ is not a fit-P geometry, no squaring)
+        scale = (jnp.mean(v_vec.astype(jnp.float32) ** 2) ** 0.25 *
+                 (jnp.mean(h_vec.astype(jnp.float32) ** 4)
+                  + damping_t ** 4) ** (-1 / 8))
+        mult = jnp.where(count == 0, scale, 1.0).astype(rdt)
+    else:
+        mult = jnp.ones((), rdt)
+
+    if momentum > 0:
+        mu = _ema_update(mu0, g_p, count, momentum)
+        src = mu
+    else:
+        mu, src = None, g_p
+
+    def local(q_loc, lips, v, h, src, k_fit, pred, lr_q, beta_l_t,
+              damping_t, mult):
+        n_loc = q_loc.shape[0]
+        rows = jax.lax.axis_index(ax_) * n_loc + jnp.arange(n_loc)
+        rmask = (rows < n_true)[:, None]
+        # on-the-fly init scale: true rows only (padded rows stay e_i)
+        q_loc = jnp.where(rmask, q_loc * mult, q_loc)
+
+        def fit(args):
+            ql, lp = args
+            return dense_p.update_dense_qeq_row_sharded(
+                ql, lp, v, h, k_fit, ax_, n_true, lr=lr_q,
+                beta_l=beta_l_t, damping=damping_t)
+
+        q_loc, lips = jax.lax.cond(pred, fit, lambda a: a, (q_loc, lips))
+        pg = dense_p.precond_grad_qeq_row_sharded(
+            q_loc, src.astype(q_loc.dtype), ax_)
+        return q_loc, lips, pg
+
+    scalars = [jnp.asarray(x) for x in
+               (pred, lr_q, beta_l_t, damping_t, mult)]
+    fn = shard_map(local, mesh=mesh_,
+                   in_specs=(PS(ax_, None), PS(), PS(), PS(), PS(), PS(),
+                             *([PS()] * len(scalars))),
+                   out_specs=(PS(ax_, None), PS(), PS()))
+    q_loc, lips, pg = fn(st.q, st.lips, v_p, h_p, src, k_fit, *scalars)
+    st = dense_p.DenseState(q=q_loc, lips=lips)
+    pre = pg.astype(g_vec.dtype)
+    pre = pre * _global_norm_scale(pre, max_norm)
+    return pre, st, mu
 
 
 def dense_newton(learning_rate: float | Callable = 0.01,

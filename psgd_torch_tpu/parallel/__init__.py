@@ -1,6 +1,7 @@
 """L3 distributed layer: meshes, shardings, per-shard whitening."""
 
 from .mesh import (
+    dense_state_specs,
     drift_check,
     gpt2_partition_specs,
     lra_state_specs,

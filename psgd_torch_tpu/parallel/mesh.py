@@ -305,6 +305,28 @@ def lra_state_specs(state: Any, axis: str) -> Any:
     return one(state)
 
 
+def dense_state_specs(state: Any, axis: str) -> Any:
+    """Shardings for a PSGDState holding a (row-sharded) DenseState: the
+    (n, n) Q row-sharded on ``axis``, momentum (an O(n) vector) and scalars
+    replicated — the layout produced/consumed by dense_newton's
+    ``vector_sharding=(mesh, axis)`` option (ZeRO-style dense Newton, QEQ
+    geometry; see precond/dense.py).  Accepts a bare PSGDState or an
+    optax.chain tuple."""
+    from ..precond.dense import DenseState
+
+    dn_specs = DenseState(q=PS(axis, None), lips=PS())
+
+    def one(st):
+        if isinstance(st, PSGDState) and isinstance(st.precond, DenseState):
+            mu = None if st.mu is None else PS()
+            return PSGDState(count=PS(), key=PS(), mu=mu, precond=dn_specs)
+        return jax.tree_util.tree_map(lambda _: PS(), st)
+
+    if isinstance(state, tuple) and not isinstance(state, PSGDState):
+        return tuple(one(st) for st in state)
+    return one(state)
+
+
 def drift_check(tree: Any, mesh: Mesh, axis: str) -> Any:
     """Max |x - mean_over(axis)| per leaf: the SPMD debug analogue of the
     reference's resync broadcasts (wrapped_as_torch_optimizer_for_ddp.py:163-170).

@@ -162,3 +162,66 @@ def update_dense_whiten(state: DenseState, g: jax.Array, key: jax.Array,
     h = g2 + (damping + eps * jnp.abs(g2)) * v
     return update_dense(state, v, h, ku, dq, lr=lr, beta_l=beta_l,
                         damping=None, norm_k=norm_k)
+
+
+# ---------------------------------------------------------------------------
+# Row-sharded (ZeRO-style) dense Newton, QEQ geometry.
+#
+# The dense fit terms are rank-1 outer products (a a^T with a = P hd, and
+# v v^T — update_precond_dense_qeq, psgd.py:1360-1366), so with Q's ROWS
+# sharded over a mesh axis the whole fit + apply is O(n^2 / k) FLOPs and
+# memory per device, with only two (n,)-sized psums per fit and one per
+# apply.  QEQ is the one matmul-only geometry whose dense update needs no
+# transpose, symmetrization, or Procrustes retraction of Q — the other
+# geometries would all-to-all an (n, n) block transpose each fit.
+#
+# Padding contract (n padded to a multiple of the shard count): Q starts as
+# eye, the probe/damping noise is masked to the true rows, so the padded
+# rows and columns of Q stay exactly e_i forever and padded gradient rows
+# produce exactly zero preconditioned output.
+# ---------------------------------------------------------------------------
+
+
+def update_dense_qeq_row_sharded(q_loc: jax.Array, lips: jax.Array,
+                                 v: jax.Array, h: jax.Array, key: jax.Array,
+                                 axis: str, n_true: int,
+                                 lr: float = 0.1, beta_l: float = 0.9,
+                                 damping: float | None = 1e-9):
+    """One QEQ dense Newton update on a row shard, INSIDE shard_map.
+
+    Args:
+      q_loc: (n_loc, n) local row block of Q.
+      v, h: full replicated probe / Hvp column vectors (n, 1) or (n,).
+      n_true: unpadded problem size (static); rows >= n_true are masked.
+    Returns (q_loc, lips).
+    """
+    v = _as_col(v)
+    h = _as_col(h)
+    rdt = real_dtype_of(q_loc.dtype)
+    n = v.shape[0]
+    mask = (jnp.arange(n) < n_true)[:, None]
+    if damping is None:
+        hd = h
+    else:
+        eps = jnp.finfo(real_dtype_of(h.dtype)).eps
+        hd = h + jnp.where(
+            mask, (damping + eps * jnp.abs(h))
+            * jax.random.normal(key, h.shape, h.dtype), 0.0)
+
+    qh = q_loc @ hd                                   # (n_loc, 1)
+    a = jax.lax.psum(q_loc.T @ qh, axis)              # (n, 1) = P hd
+    ell = _sum_sq(a, v)
+    lips = _lmax(lips, ell, beta_l)
+    c = (lr / lips).astype(rdt)
+    q_loc = q_loc - c * ((q_loc @ a) @ a.T - (q_loc @ v) @ v.T)
+    return q_loc, lips
+
+
+def precond_grad_qeq_row_sharded(q_loc: jax.Array, g: jax.Array,
+                                 axis: str) -> jax.Array:
+    """P g = Q^T (Q g) with Q row-sharded: local products + one psum;
+    returns the full replicated (n,) result (INSIDE shard_map)."""
+    squeeze = g.ndim == 1
+    g2 = _as_col(g)
+    out = jax.lax.psum(q_loc.T @ (q_loc @ g2), axis)
+    return out[:, 0] if squeeze else out
