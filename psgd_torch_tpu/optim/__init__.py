@@ -1,5 +1,12 @@
 """L2 optimizer layer: optax-style PSGD transforms + Hvp helpers."""
 
+from .classes import (
+    DenseNewton,
+    KronNewton,
+    KronWhiten,
+    LRANewton,
+    LRAWhiten,
+)
 from .hvp import hvp_exact, hvp_finite_diff, make_hvp_fn, rand_like_tree
 from .legacy_transforms import (
     affine,

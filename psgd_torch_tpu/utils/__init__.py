@@ -1,6 +1,7 @@
 """Utilities: checkpointing (orbax), profiling, observability."""
 
 from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .failsafe import FailsafeLoop, finite_check, make_guarded_step
 from .metrics import psgd_metrics  # noqa: F401
 # torch_interop is intentionally NOT imported here: torch is optional
-from .profiling import StepTimer, trace
+from .profiling import StepTimer, collective_bytes, trace
