@@ -390,3 +390,59 @@ def test_lra_newton_hvp_dtype_may_differ_from_params():
     for _ in range(4):
         params, state = step(params, state)
     assert jnp.isfinite(params["w"].astype(jnp.float32)).all()
+
+
+def test_composes_with_optax_multi_transform():
+    """The production partition recipe: PSGD-Kron on matrix params, AdamW
+    on 1-D params (norms/biases), via optax.multi_transform."""
+    params = {"dense": {"w": jnp.zeros((8, 4))}, "norm": {"b": jnp.zeros((4,))}}
+    tgt = jax.random.normal(jax.random.key(0), (8, 4))
+
+    def loss(p):
+        return (jnp.sum((p["dense"]["w"] - tgt) ** 2)
+                + jnp.sum((p["norm"]["b"] - 1.0) ** 2))
+
+    tx = optax.multi_transform(
+        {"psgd": popt.kron_whiten(learning_rate=optax.linear_schedule(0.1, 0.0, 300),
+                                  preconditioner_init_scale=1.0),
+         "adamw": optax.adamw(1e-1)},
+        {"dense": {"w": "psgd"}, "norm": {"b": "adamw"}})
+    state = tx.init(params)
+
+    @jax.jit
+    def step(p, s):
+        g = jax.grad(loss)(p)
+        up, s = tx.update(g, s, p)
+        return optax.apply_updates(p, up), s
+
+    l0 = float(loss(params))
+    for _ in range(300):
+        params, state = step(params, state)
+    assert float(loss(params)) < 1e-3 * l0
+
+
+def test_composes_with_optax_multisteps():
+    """Gradient accumulation: optax.MultiSteps(kron_whiten, k) — PSGD's
+    pytree state must survive the wrapped zero-update steps."""
+    params = {"w": jnp.zeros((8, 4))}
+    tgt = jax.random.normal(jax.random.key(0), (8, 4))
+
+    def loss(p):
+        return jnp.sum((p["w"] - tgt) ** 2)
+
+    tx = optax.MultiSteps(
+        popt.kron_whiten(learning_rate=optax.linear_schedule(0.1, 0.0, 100),
+                         preconditioner_init_scale=1.0),
+        every_k_schedule=4)
+    state = tx.init(params)
+
+    @jax.jit
+    def step(p, s):
+        g = jax.grad(loss)(p)
+        up, s = tx.update(g, s, p)
+        return optax.apply_updates(p, up), s
+
+    l0 = float(loss(params))
+    for _ in range(400):
+        params, state = step(params, state)
+    assert float(loss(params)) < 1e-3 * l0
