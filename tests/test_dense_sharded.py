@@ -157,3 +157,50 @@ def test_sharded_matches_replicated_trajectory():
     for ks in ("w", "b"):
         np.testing.assert_allclose(np.asarray(p_sh[ks]), np.asarray(p_pl[ks]),
                                    rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_vector_sharded_states_checkpoint_roundtrip(tmp_path):
+    """Orbax round trip of the row-sharded DenseState restores into fresh
+    shardings bitwise (reference state is unserializable, SURVEY.md §5)."""
+    from psgd_torch_tpu.utils import checkpoint as ckpt
+
+    mesh = _mesh()
+    loss, params = _problem()
+
+    def hvp(p, v):
+        return jax.jvp(jax.grad(loss), (p,), (v,))
+
+    opt = popt.dense_newton(learning_rate=0.3, dq="QEQ",
+                            preconditioner_init_scale=1.0,
+                            vector_sharding=(mesh, "fsdp"), momentum=0.9)
+    state = opt.init(params)
+    specs = dense_state_specs(state, "fsdp")
+    shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, PS))
+    state = jax.device_put(state, shardings)
+
+    @jax.jit
+    def step(p, s):
+        g = jax.grad(loss)(p)
+        up, s = opt.update(g, s, p, hvp_fn=hvp)
+        return optax.apply_updates(p, up), s
+
+    p = params
+    with mesh:
+        for _ in range(5):
+            p, state = step(p, state)
+            jax.block_until_ready(state)
+
+    ckpt.save_checkpoint(str(tmp_path / "dn"), 5, p, state)
+    template = {"step": 5, "params": p, "opt_state": state, "extra": {}}
+    restored = ckpt.restore_checkpoint(str(tmp_path / "dn"), template)
+    s2 = jax.device_put(restored["opt_state"], shardings)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(jax.device_get(a)),
+                                      np.asarray(jax.device_get(b)))
+    # restored-and-resharded q carries the row sharding (48/8 = 6 rows/dev)
+    assert {tuple(sh.data.shape) for sh in s2[0].precond.q.addressable_shards} \
+        == {(6, 48)}
