@@ -163,6 +163,7 @@ def test_sharded_matches_replicated_trajectory():
 def test_vector_sharded_states_checkpoint_roundtrip(tmp_path):
     """Orbax round trip of the row-sharded DenseState restores into fresh
     shardings bitwise (reference state is unserializable, SURVEY.md §5)."""
+    pytest.importorskip("orbax.checkpoint")
     from psgd_torch_tpu.utils import checkpoint as ckpt
 
     mesh = _mesh()

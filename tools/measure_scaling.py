@@ -66,7 +66,8 @@ def build(mesh, cfg, mask, p_specs, mode):
     return popt.kron_whiten(**kw)
 
 
-def measure(mesh, cfg, mask, p_specs, mode, steps, batch):
+def _setup(mesh, cfg, mask, p_specs, mode):
+    """Shared preamble: optimizer, placed params/state, state specs."""
     opt = build(mesh, cfg, mask, p_specs, mode)
     key = jax.random.key(0)
     params = gpt2.init_gpt2(key, cfg)
@@ -80,6 +81,24 @@ def measure(mesh, cfg, mask, p_specs, mode, steps, batch):
         s_specs = psgd_state_specs(p_specs, state)
     params = jax.device_put(params, named_shardings(mesh, p_specs))
     state = jax.device_put(state, named_shardings(mesh, s_specs))
+    return opt, key, params, state, s_specs
+
+
+def _cost_summary(compiled, times):
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return {
+        "step_ms_median": 1e3 * statistics.median(times),
+        "step_ms_best": 1e3 * min(times),
+        "flops_per_device": float(ca.get("flops", float("nan"))),
+        "collective_bytes_per_device": collective_bytes(compiled),
+        "collective_bytes_by_op": collective_bytes(compiled, per_op=True),
+    }
+
+
+def measure(mesh, cfg, mask, p_specs, mode, steps, batch):
+    opt, key, params, state, s_specs = _setup(mesh, cfg, mask, p_specs, mode)
     d_shard = NamedSharding(mesh, PS("dp", None))
     tokens, targets = gpt2.synthetic_lm_batch(jax.random.fold_in(key, 1),
                                               batch, cfg.block_size,
@@ -112,6 +131,42 @@ def measure(mesh, cfg, mask, p_specs, mode, steps, batch):
             jax.block_until_ready(loss)
             times.append(time.perf_counter() - t0)
 
+    out = _cost_summary(compiled, times)
+    out["final_loss"] = float(loss)
+    return out
+
+
+def measure_optimizer_only(mesh, cfg, mask, p_specs, mode, steps):
+    """Wall-clock of the OPTIMIZER alone (PSGD fit + apply on fixed grads,
+    no fwd/bwd): the work this library owns.  On the 1-core virtual mesh
+    XLA:CPU executes every virtual device serially, so replicated Q work
+    costs n_devices x one fit while the sharded path costs ~one fit +
+    collectives -- the same arithmetic ratio real chips see in parallel."""
+    opt, key, params, state, s_specs = _setup(mesh, cfg, mask, p_specs, mode)
+    grads = jax.tree_util.tree_map(
+        lambda p: jax.device_put(
+            jax.random.normal(jax.random.fold_in(key, 2), p.shape, p.dtype)
+            * 1e-2, p.sharding),
+        params)
+
+    def opt_step(grads, state, params):
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state
+
+    out_sh = (named_shardings(mesh, p_specs), named_shardings(mesh, s_specs))
+    with mesh:
+        compiled = jax.jit(opt_step, out_shardings=out_sh).lower(
+            grads, state, params).compile()
+        for _ in range(2):
+            params, state = compiled(grads, state, params)
+            jax.block_until_ready(state)
+        times = []
+        for _ in range(steps):
+            t0 = time.perf_counter()
+            params, state = compiled(grads, state, params)
+            jax.block_until_ready(state)
+            times.append(time.perf_counter() - t0)
+
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
@@ -121,7 +176,6 @@ def measure(mesh, cfg, mask, p_specs, mode, steps, batch):
         "flops_per_device": float(ca.get("flops", float("nan"))),
         "collective_bytes_per_device": collective_bytes(compiled),
         "collective_bytes_by_op": collective_bytes(compiled, per_op=True),
-        "final_loss": float(loss),
     }
 
 
@@ -214,6 +268,19 @@ def main():
               f"{results[mode]['collective_bytes_per_device']/1e6:6.2f} "
               f"MB coll/dev")
 
+    opt_only = {"results": {}}
+    for mode in ("replicated", "sharded"):
+        opt_only["results"][mode] = measure_optimizer_only(
+            mesh, cfg, mask, p_specs, mode, args.steps)
+        r = opt_only["results"][mode]
+        print(f"opt-only {mode:10s}: {r['step_ms_median']:8.2f} ms/step, "
+              f"{r['flops_per_device']/1e9:7.2f} GFLOP/dev, "
+              f"{r['collective_bytes_per_device']/1e6:6.2f} MB coll/dev")
+    opt_only["sharded_vs_replicated"] = {
+        "step_time_ratio": (opt_only["results"]["sharded"]["step_ms_median"]
+                            / opt_only["results"]["replicated"]
+                            ["step_ms_median"])}
+
     rep, sh = results["replicated"], results["sharded"]
     extra_bytes = (sh["collective_bytes_per_device"]
                    - rep["collective_bytes_per_device"])
@@ -232,6 +299,7 @@ def main():
                   "vocab_size": cfg.vocab_size, "batch": args.batch},
         "update_probability": 1.0,
         "results": results,
+        "optimizer_only": opt_only,
         "sharded_vs_replicated": {
             "step_time_ratio": (sh["step_ms_median"]
                                 / rep["step_ms_median"]),
