@@ -1,5 +1,6 @@
 """L3 distributed layer: meshes, shardings, per-shard whitening."""
 
+from .recipe import ShardingRecipe, sharding_recipe
 from .mesh import (
     dense_state_specs,
     drift_check,
