@@ -33,7 +33,7 @@ import optax
 import psgd_torch_tpu.optim as popt
 from psgd_torch_tpu.models import gpt2
 from psgd_torch_tpu.parallel import (gpt2_partition_specs, make_mesh,
-                                     named_shardings, psgd_state_specs)
+                                     named_shardings, sharding_recipe)
 from jax.sharding import NamedSharding, PartitionSpec as PS
 
 
@@ -59,25 +59,22 @@ def main():
     params = gpt2.init_gpt2(key, cfg)
     mask = gpt2.scanned_layers_mask(params)
 
-    # ZeRO-style layer sharding when n_layer divides the fsdp axis, plus
-    # dim-sharded embedding Q updates (factor_sharding)
+    # sharding_recipe resolves the whole layout from one declaration:
+    # ZeRO-style layer-stack Q sharding (auto-picks a dividing mesh axis)
+    # plus dim-sharded embedding Q updates, with the state placement
+    # guaranteed to match the transform's compute layout.
     p_specs = gpt2_partition_specs()
-    stack_axis = "fsdp" if cfg.n_layer % mesh.shape["fsdp"] == 0 else None
+    recipe = sharding_recipe(mesh, p_specs, params, scanned_layers=mask)
     opt = popt.kron_whiten(
         learning_rate=1e-3, momentum=0.9, preconditioner_max_skew=2.0,
         preconditioner_init_scale=1.0,
         preconditioner_update_probability=optax.linear_schedule(
             1.0, 0.1, max(args.steps // 2, 1)),
-        scanned_layers=mask,
-        stack_sharding=(mesh, stack_axis) if stack_axis else None,
-        factor_sharding=(mesh, p_specs))
+        **recipe.transform_kwargs)
     state = opt.init(params)
 
-    s_specs = psgd_state_specs(p_specs, state, scanned_layers=mask,
-                               stack_axis=stack_axis,
-                               factor_sharding_params=params, mesh=mesh)
-    params = jax.device_put(params, named_shardings(mesh, p_specs))
-    state = jax.device_put(state, named_shardings(mesh, s_specs))
+    params, state = recipe.place(params, state)
+    s_specs = recipe.state_specs(state)
     data_shard = NamedSharding(mesh, PS("dp", None))
 
     start_step = 0
