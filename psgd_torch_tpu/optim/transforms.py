@@ -414,6 +414,7 @@ def scale_by_kron_whiten(
     scanned_layers: Any = None,
     stack_sharding: Optional[Tuple[Any, str]] = None,
     factor_sharding: Optional[Tuple[Any, Any]] = None,
+    pipelined_fit: bool = False,
 ) -> optax.GradientTransformation:
     """Kronecker-factored gradient/momentum whitening preconditioner.
 
@@ -439,11 +440,36 @@ def scale_by_kron_whiten(
     ``psgd_state_specs(..., factor_sharding_params=params)`` so diag factors
     live sharded along their dims.  Matmul-only geometries (Q0.5EQ1.5,
     QUAD, QEQ).
+
+    ``pipelined_fit=True`` fits Q on the PREVIOUS step's momentum (the
+    buffer before this step's EMA update) instead of the current one.  The
+    fit then reads only optimizer state — zero data dependency on this
+    step's gradients — so inside a jitted train step XLA's latency-hiding
+    scheduler is free to run the whole Q fit, including the stack/factor
+    sharding collectives, concurrently with the model's forward/backward
+    pass (SURVEY.md §7: "ICI collectives overlapped with grad compute").
+    One-step-delayed stochastic fitting has the same whitening fixed point;
+    the first fit happens at step 1 (step 0's buffer is zeros).  Requires
+    momentum whitening (``whiten_grad=False``, the production GPT-2 recipe,
+    misc/gpt2.py:400-413) so the stale source is the momentum buffer itself
+    (no extra state), and an explicit ``preconditioner_init_scale`` (the
+    on-the-fly scale would re-introduce a gradient dependency).
     """
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
     if not whiten_grad and momentum == 0.0:
         raise ValueError("Cannot whiten momentum with momentum == 0")
+    if pipelined_fit:
+        if whiten_grad:
+            raise ValueError(
+                "pipelined_fit requires momentum whitening "
+                "(whiten_grad=False, momentum > 0): the previous step's "
+                "fit source must already live in the optimizer state")
+        if preconditioner_init_scale is None:
+            raise ValueError(
+                "pipelined_fit requires an explicit preconditioner_init_scale "
+                "(the on-the-fly scale reads the current gradients, which "
+                "would re-couple the fit to the backward pass)")
     _advisories(preconditioner_init_scale, whiten_grad, momentum, dq,
                 preconditioner_dtype)
 
@@ -504,8 +530,20 @@ def scale_by_kron_whiten(
         do_update = (jax.random.uniform(k_gate)
                      < _sched(preconditioner_update_probability, state.count))
 
-        fit_sources = sq if whiten_grad else [
-            leaf_view(m, f, p) for m, f, p in zip(mu_leaves, flags, plans)]
+        if pipelined_fit:
+            # fit on the PRE-update momentum: the fit subgraph reads only
+            # optimizer state, so XLA can overlap it (and its sharding
+            # collectives) with the model's forward/backward pass.  Step 0's
+            # buffer is zeros — first fit at step 1.
+            do_update = jnp.logical_and(do_update, state.count > 0)
+            fit_sources = [leaf_view(m, f, p) for m, f, p in
+                           zip(jax.tree_util.tree_leaves(state.mu),
+                               flags, plans)]
+        elif whiten_grad:
+            fit_sources = sq
+        else:
+            fit_sources = [leaf_view(m, f, p)
+                           for m, f, p in zip(mu_leaves, flags, plans)]
         apply_sources = ([leaf_view(m, f, p)
                           for m, f, p in zip(mu_leaves, flags, plans)]
                          if momentum > 0 else sq)
