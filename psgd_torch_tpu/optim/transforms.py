@@ -167,6 +167,27 @@ def _scan_flags(scanned_layers, leaves):
     return [bool(f) for f in flags]
 
 
+def _shared_flags(shared_layers, scan_flags, leaves):
+    """Normalize ``shared_layers`` (True = every scanned leaf, or a
+    pytree-of-bools matching params) to a per-leaf list; every shared leaf
+    must also be marked in ``scanned_layers`` (the leading axis is the
+    layer stack being pooled)."""
+    if shared_layers is None:
+        return [False] * len(leaves)
+    if shared_layers is True:
+        return list(scan_flags)
+    shared = [bool(s) for s in jax.tree_util.tree_leaves(shared_layers)]
+    if len(shared) != len(leaves):
+        raise ValueError(
+            f"shared_layers has {len(shared)} leaves, params have {len(leaves)}")
+    bad = [i for i, (s, f) in enumerate(zip(shared, scan_flags)) if s and not f]
+    if bad:
+        raise ValueError(
+            f"shared_layers marks leaves {bad} that are not in scanned_layers "
+            "— factor sharing pools over the leading layer-stack axis")
+    return shared
+
+
 def _init_kron_leaf(plan, scale0, dtype, scanned, n_stack):
     st = kron_p.init_kron_from_plan(plan, scale0, dtype)
     if scanned:
@@ -412,6 +433,7 @@ def scale_by_kron_whiten(
     norm_k: Optional[int] = None,
     seed: int = 0,
     scanned_layers: Any = None,
+    shared_layers: Any = None,
     stack_sharding: Optional[Tuple[Any, str]] = None,
     factor_sharding: Optional[Tuple[Any, Any]] = None,
     pipelined_fit: bool = False,
@@ -440,6 +462,17 @@ def scale_by_kron_whiten(
     ``psgd_state_specs(..., factor_sharding_params=params)`` so diag factors
     live sharded along their dims.  Matmul-only geometries (Q0.5EQ1.5,
     QUAD, QEQ).
+
+    ``shared_layers`` (True, or a pytree-of-bools ⊆ ``scanned_layers``)
+    pools the whitening statistics of a layer stack into ONE set of Kron
+    factors shared by all L layers, plus a per-layer diagonal factor that
+    keeps layer-wise scale adaptive.  Q-update FLOPs and factor memory drop
+    L-fold versus per-layer factors (the fit contracts over the layer axis
+    as extra samples); the whitening target becomes the POOLED per-layer
+    covariance — a deliberate statistical trade the reference cannot
+    express (its state is strictly per-tensor, psgd.py:161-263).  Shared
+    leaves are not routed through stack/factor sharding (there is no
+    per-layer Q to partition; GSPMD shards the pooled contractions).
 
     ``pipelined_fit=True`` fits Q on the PREVIOUS step's momentum (the
     buffer before this step's EMA update) instead of the current one.  The
@@ -473,19 +506,31 @@ def scale_by_kron_whiten(
     _advisories(preconditioner_init_scale, whiten_grad, momentum, dq,
                 preconditioner_dtype)
 
-    def _plans(leaves, flags):
-        return [kron_p.make_kron_plan(
-            _squeezed_shape(g.shape[1:] if f else g.shape),
-            preconditioner_max_size, preconditioner_max_skew, dq)
-            for g, f in zip(leaves, flags)]
+    def _plans(leaves, flags, shared):
+        out = []
+        for g, f, sh in zip(leaves, flags, shared):
+            shape = _squeezed_shape(g.shape[1:] if f else g.shape)
+            fd = ((True,) + (False,) * (len(shape) - 1)
+                  if sh and g.shape[0] > 1 else None)
+            out.append(kron_p.make_kron_plan(
+                shape, preconditioner_max_size, preconditioner_max_skew, dq,
+                force_diag=fd))
+        return out
+
+    def _flags_shared(leaves):
+        scan = _scan_flags(scanned_layers, leaves)
+        shared = _shared_flags(shared_layers, scan, leaves)
+        # shared leaves are handled as ONE whole tensor (layer axis pooled
+        # by the plan's forced-diag factor), not vmapped per layer
+        return [f and not s for f, s in zip(scan, shared)], shared
 
     def _qdtype(leaf):
         return preconditioner_dtype if preconditioner_dtype is not None else leaf.dtype
 
     def init_fn(params):
         leaves = jax.tree_util.tree_leaves(params)
-        flags = _scan_flags(scanned_layers, leaves)
-        plans = _plans(leaves, flags)
+        flags, shared = _flags_shared(leaves)
+        plans = _plans(leaves, flags, shared)
         scale0 = 1.0 if preconditioner_init_scale is None else preconditioner_init_scale
         kron_states = [
             _init_kron_leaf(p, scale0, _qdtype(l), f, l.shape[0] if f else 1)
@@ -499,8 +544,8 @@ def scale_by_kron_whiten(
     def update_fn(updates, state, params=None):
         del params
         leaves, treedef = jax.tree_util.tree_flatten(updates)
-        flags = _scan_flags(scanned_layers, leaves)
-        plans = _plans(leaves, flags)
+        flags, shared = _flags_shared(leaves)
+        plans = _plans(leaves, flags, shared)
 
         def leaf_view(x, f, plan):
             return x.reshape(((x.shape[0],) if f else ()) + plan.shape)
@@ -572,7 +617,7 @@ def scale_by_kron_whiten(
                 raise ValueError("factor_sharding specs do not match params")
             for i, (g, f, p, spec) in enumerate(
                     zip(leaves, flags, plans, spec_leaves)):
-                if f or p.dq not in kron_p.DIM_SHARDABLE_DQS:
+                if f or shared[i] or p.dq not in kron_p.DIM_SHARDABLE_DQS:
                     continue
                 axes = _squeeze_spec(g.shape, spec)
                 if any(axes):
@@ -720,6 +765,7 @@ def scale_by_kron_newton(
     norm_k: Optional[int] = None,
     seed: int = 0,
     scanned_layers: Any = None,
+    shared_layers: Any = None,
     stack_sharding: Optional[Tuple[Any, str]] = None,
     factor_sharding: Optional[Tuple[Any, Any]] = None,
 ) -> optax.GradientTransformationExtraArgs:
@@ -736,26 +782,38 @@ def scale_by_kron_newton(
     explicit layer-axis shard_map (ZeRO-style Q partitioning), and
     dim-sharded non-stacked leaves (embeddings) fit with local contractions
     + psum on one global Q (Q0.5EQ1.5, QUAD, QEQ).  The fit source here is the
-    (v, Hvp) pair instead of the gradient.
+    (v, Hvp) pair instead of the gradient.  ``shared_layers`` pools a layer
+    stack's curvature into ONE shared set of Kron factors plus a per-layer
+    diagonal (see scale_by_kron_whiten).
     """
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
     _advisories(preconditioner_init_scale, True, 0.0, dq,
                 preconditioner_dtype)
 
-    def _plans(leaves, flags):
-        return [kron_p.make_kron_plan(
-            _squeezed_shape(g.shape[1:] if f else g.shape),
-            preconditioner_max_size, preconditioner_max_skew, dq)
-            for g, f in zip(leaves, flags)]
+    def _plans(leaves, flags, shared):
+        out = []
+        for g, f, sh in zip(leaves, flags, shared):
+            shape = _squeezed_shape(g.shape[1:] if f else g.shape)
+            fd = ((True,) + (False,) * (len(shape) - 1)
+                  if sh and g.shape[0] > 1 else None)
+            out.append(kron_p.make_kron_plan(
+                shape, preconditioner_max_size, preconditioner_max_skew, dq,
+                force_diag=fd))
+        return out
+
+    def _flags_shared(leaves):
+        scan = _scan_flags(scanned_layers, leaves)
+        shared = _shared_flags(shared_layers, scan, leaves)
+        return [f and not s for f, s in zip(scan, shared)], shared
 
     def _qdtype(leaf):
         return preconditioner_dtype if preconditioner_dtype is not None else leaf.dtype
 
     def init_fn(params):
         leaves = jax.tree_util.tree_leaves(params)
-        flags = _scan_flags(scanned_layers, leaves)
-        plans = _plans(leaves, flags)
+        flags, shared = _flags_shared(leaves)
+        plans = _plans(leaves, flags, shared)
         scale0 = 1.0 if preconditioner_init_scale is None else preconditioner_init_scale
         kron_states = [
             _init_kron_leaf(p, scale0, _qdtype(l), f, l.shape[0] if f else 1)
@@ -770,8 +828,8 @@ def scale_by_kron_newton(
                   hvs=None, **extra):
         del extra
         leaves, treedef = jax.tree_util.tree_flatten(updates)
-        flags = _scan_flags(scanned_layers, leaves)
-        plans = _plans(leaves, flags)
+        flags, shared = _flags_shared(leaves)
+        plans = _plans(leaves, flags, shared)
 
         key, k_gate, k_v, k_fit = jax.random.split(state.key, 4)
         lr_q = _sched(lr_preconditioner, state.count)
@@ -792,7 +850,7 @@ def scale_by_kron_newton(
                 raise ValueError("factor_sharding specs do not match params")
             for i, (g, f, p, spec) in enumerate(
                     zip(leaves, flags, plans, spec_leaves)):
-                if f or p.dq not in kron_p.DIM_SHARDABLE_DQS:
+                if f or shared[i] or p.dq not in kron_p.DIM_SHARDABLE_DQS:
                     continue
                 axes = _squeeze_spec(g.shape, spec)
                 if any(axes):

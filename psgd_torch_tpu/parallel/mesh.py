@@ -177,7 +177,8 @@ def psgd_state_specs(param_specs: Any, state: PSGDState,
                      scanned_layers: Any = None,
                      stack_axis: Optional[str] = None,
                      factor_sharding_params: Any = None,
-                     mesh: Optional[Mesh] = None) -> PSGDState:
+                     mesh: Optional[Mesh] = None,
+                     shared_layers: Any = None) -> PSGDState:
     """Shardings for a PSGDState: momentum follows the params, scalars and
     PRNG key replicated, Kron Q/L factors replicated — unless ``stack_axis``
     is given.
@@ -208,6 +209,15 @@ def psgd_state_specs(param_specs: Any, state: PSGDState,
     flags = None
     if scanned_layers is not None:
         flags = [bool(f) for f in jax.tree_util.tree_leaves(scanned_layers)]
+    # leaves with the transform's shared_layers factor pooling hold ONE
+    # KronState (per-layer diag + shared factors): replicated, never
+    # stack- or dim-sharded
+    if shared_layers is True:
+        shared = list(flags) if flags is not None else None
+    elif shared_layers is not None:
+        shared = [bool(s) for s in jax.tree_util.tree_leaves(shared_layers)]
+    else:
+        shared = None
 
     spec_leaves = jax.tree_util.tree_leaves(
         param_specs, is_leaf=lambda x: isinstance(x, PS))
@@ -258,6 +268,9 @@ def psgd_state_specs(param_specs: Any, state: PSGDState,
         out = []
         for i, ks in enumerate(precond):
             f = flags[i] if flags is not None else False
+            if shared is not None and i < len(shared) and shared[i]:
+                out.append(replicate(ks))  # pooled single KronState
+                continue
             if f and stack_axis is not None and isinstance(ks, KronState):
                 out.append(stacked_kron(ks))
             elif (not f and shape_leaves is not None

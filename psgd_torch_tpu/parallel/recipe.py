@@ -50,12 +50,15 @@ class ShardingRecipe:
     stack_axis: StackAxis          # resolved; None = stack sharding off
     factor_sharded: bool           # dim-sharded embedding path on/off
     dq: str
+    shared_layers: Any = None      # layer-stack factor pooling mask
 
     @property
     def transform_kwargs(self) -> dict:
         kw: dict = {"dq": self.dq}
         if self.scanned_layers is not None:
             kw["scanned_layers"] = self.scanned_layers
+        if self.shared_layers is not None:
+            kw["shared_layers"] = self.shared_layers
         if self.stack_axis is not None:
             kw["stack_sharding"] = (self.mesh, self.stack_axis)
         if self.factor_sharded:
@@ -71,7 +74,8 @@ class ShardingRecipe:
             stack_axis=self.stack_axis,
             factor_sharding_params=(self.params if self.factor_sharded
                                     else None),
-            mesh=self.mesh)
+            mesh=self.mesh,
+            shared_layers=self.shared_layers)
 
     def place(self, params, state) -> Tuple[Any, Any]:
         """device_put params and optimizer state onto their shardings."""
@@ -94,7 +98,8 @@ def _axis_size(mesh: Mesh, axis: StackAxis) -> int:
 def sharding_recipe(mesh: Mesh, param_specs: Any, params: Any,
                     scanned_layers: Any = None,
                     stack_axis: Union[StackAxis, str] = "auto",
-                    dq: str = "Q0.5EQ1.5") -> ShardingRecipe:
+                    dq: str = "Q0.5EQ1.5",
+                    shared_layers: Any = None) -> ShardingRecipe:
     """Resolve the production sharded-optimizer layout from one declaration.
 
     Args:
@@ -113,6 +118,10 @@ def sharding_recipe(mesh: Mesh, param_specs: Any, params: Any,
         (Q0.5EQ1.5 / QUAD / QEQ, kron.DIM_SHARDABLE_DQS) — for other
         geometries the recipe keeps that state replicated, matching what the
         transform actually computes.
+      shared_layers: the transform's layer-stack factor-pooling mask (True =
+        every scanned leaf).  Shared leaves hold one pooled KronState — the
+        recipe excludes them from stack sharding (no per-layer Q to
+        partition) and keeps their state replicated.
 
     Returns a :class:`ShardingRecipe`.
     """
@@ -132,9 +141,19 @@ def sharding_recipe(mesh: Mesh, param_specs: Any, params: Any,
             raise ValueError("scanned_layers does not match params")
     else:
         flags = [False] * len(leaves)
+    if shared_layers is True:
+        shared = list(flags)
+    elif shared_layers is not None:
+        shared = [bool(s) for s in jax.tree_util.tree_leaves(shared_layers)]
+        if len(shared) != len(leaves):
+            raise ValueError("shared_layers does not match params")
+    else:
+        shared = [False] * len(leaves)
 
+    # shared (pooled) leaves hold one KronState — no per-layer Q to shard
     stack_counts = sorted({int(leaf.shape[0])
-                           for leaf, f in zip(leaves, flags) if f})
+                           for leaf, f, sh in zip(leaves, flags, shared)
+                           if f and not sh})
     resolved: StackAxis = None
     if stack_counts:
         if stack_axis == "auto":
@@ -166,4 +185,5 @@ def sharding_recipe(mesh: Mesh, param_specs: Any, params: Any,
 
     return ShardingRecipe(mesh=mesh, param_specs=param_specs, params=params,
                           scanned_layers=scanned_layers, stack_axis=resolved,
-                          factor_sharded=factor_sharded, dq=dq)
+                          factor_sharded=factor_sharded, dq=dq,
+                          shared_layers=shared_layers)

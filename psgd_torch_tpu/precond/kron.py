@@ -28,7 +28,7 @@ Design notes (TPU):
 from __future__ import annotations
 
 import string
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -144,14 +144,21 @@ def _sym(i: int) -> str:
 
 
 def make_kron_plan(shape: Tuple[int, ...], max_size: float = float("inf"),
-                   max_skew: float = 1.0, dq: str = DQ_Q05EQ15) -> KronPlan:
+                   max_skew: float = 1.0, dq: str = DQ_Q05EQ15,
+                   force_diag: Optional[Tuple[bool, ...]] = None) -> KronPlan:
     """Build the static contraction plan for a tensor shape.
 
     Dim i gets a dense matrix factor unless ``size <= 1 or size > max_size or
     size**2 > max_skew * numel`` (diagonal then) — reference psgd.py:208-210.
+    ``force_diag`` (per-dim bools) additionally forces listed dims diagonal
+    regardless of the size rule — used by the layer-stack factor sharing,
+    where the layer axis keeps a per-layer scale but never a dense
+    cross-layer factor.
     """
     dq = canonical_dq(dq)
     shape = tuple(int(s) for s in shape)
+    if force_diag is not None and len(force_diag) != len(shape):
+        raise ValueError(f"force_diag {force_diag} does not match {shape}")
     numel = 1
     for s in shape:
         numel *= s
@@ -170,7 +177,9 @@ def make_kron_plan(shape: Tuple[int, ...], max_size: float = float("inf"),
     col2 = [_sym(i + 52) for i in range(len(shape))]
 
     is_diag = tuple(
-        (s <= 1) or (s > max_size) or (s * s > max_skew * numel) for s in shape
+        (s <= 1) or (s > max_size) or (s * s > max_skew * numel)
+        or (force_diag is not None and force_diag[i])
+        for i, s in enumerate(shape)
     )
 
     # exprA: out[row...] = prod_i Q_i[row_i, col_i] * T[col...]
