@@ -162,17 +162,23 @@ def main(medium: bool = False):
     # timed interleaved so remote-runtime drift cancels in the ratios
     adamw = optax.adamw(1e-3, b1=0.9, b2=0.95, weight_decay=0.01)
 
-    def psgd_opt(p_update):
+    def psgd_opt(p_update, **kw):
         return popt.kron_whiten(
             learning_rate=1e-3 / 4, momentum=0.9, whiten_grad=False,
             preconditioner_max_skew=2.0, preconditioner_init_scale=1.0,
             preconditioner_update_probability=p_update,
             preconditioner_dtype=pdt, momentum_dtype=pdt,
             norm_k=nk, weight_decay=0.01,
-            scanned_layers=mask)
+            scanned_layers=mask, **kw)
 
+    # share_fit_apply reuses the fit's P·m product as the update, saving one
+    # exprP chain per fit step — the interesting operating point is p=1.0
+    # (every step fits; early training in the reference's annealed recipe)
     opt01, opt1 = psgd_opt(0.1), psgd_opt(1.0)
-    (t_adamw, t_psgd01, t_psgd1), (l_adamw, l_psgd01, l_psgd1) = \
+    opt1s = psgd_opt(1.0, share_fit_apply=True,
+                     update_preconditioner_first=False)
+    (t_adamw, t_psgd01, t_psgd1, t_psgd1s), \
+        (l_adamw, l_psgd01, l_psgd1, l_psgd1s) = \
         time_interleaved([
             (make_n_step(adamw, loss_fn),
              (params, adamw.init(params), tokens, targets)),
@@ -180,10 +186,14 @@ def main(medium: bool = False):
              (params, opt01.init(params), tokens, targets)),
             (make_n_step(opt1, loss_fn),
              (params, opt1.init(params), tokens, targets)),
+            (make_n_step(opt1s, loss_fn),
+             (params, opt1s.init(params), tokens, targets)),
         ])
     log(f"adamw step: {t_adamw*1e3:.2f} ms (loss {l_adamw:.3f})")
     log(f"psgd step (p=0.1): {t_psgd01*1e3:.2f} ms (loss {l_psgd01:.3f})")
     log(f"psgd step (p=1.0): {t_psgd1*1e3:.2f} ms (loss {l_psgd1:.3f})")
+    log(f"psgd step (p=1.0, share_fit_apply): {t_psgd1s*1e3:.2f} ms "
+        f"(loss {l_psgd1s:.3f})")
 
     # --- isolated Q-update + Pg-apply (the primary kernel metric).
     # The loop body mirrors a real optimizer step: update + apply to a
@@ -327,6 +337,8 @@ def main(medium: bool = False):
             "psgd_p0.1_ms": round(t_psgd01 * 1e3, 2),
             "psgd_p1.0_ms": round(t_psgd1 * 1e3, 2),
             "psgd_p1.0_ratio": round(t_psgd1 / t_adamw, 4),
+            "psgd_p1.0_shared_ms": round(t_psgd1s * 1e3, 2),
+            "psgd_p1.0_shared_ratio": round(t_psgd1s / t_adamw, 4),
             "q_update_apply_us": round(t_q * 1e6),
             "q_update_mfu": None if q_mfu is None else round(q_mfu, 4),
             "q_update_gflop_per_step": (

@@ -196,17 +196,21 @@ def _init_kron_leaf(plan, scale0, dtype, scanned, n_stack):
     return st
 
 
-def _fit_kron_leaf(st, plan, key, scanned, mode, g=None, v=None, h=None, **kw):
+def _fit_kron_leaf(st, plan, key, scanned, mode, g=None, v=None, h=None,
+                   return_pg=False, **kw):
     """One whiten/newton Q update for a leaf; layer-stacked leaves go through
-    the batched stacked update (one fused-kernel launch per dense factor)."""
+    the batched stacked update (one fused-kernel launch per dense factor).
+    ``return_pg`` (whiten only) also returns the fit's internal P(g+damping*v)
+    product so callers can reuse it as the apply (see update_kron_whiten)."""
     if mode == "whiten":
         if scanned:
             n = g.shape[0]
             gs = g.reshape((n,) + plan.shape)
             return kron_p.update_kron_whiten_stacked(
-                st, plan, gs, jax.random.split(key, n), **kw)
+                st, plan, gs, jax.random.split(key, n),
+                return_pg=return_pg, **kw)
         return kron_p.update_kron_whiten(st, plan, g.reshape(plan.shape),
-                                         key, **kw)
+                                         key, return_pg=return_pg, **kw)
     if scanned:
         n = v.shape[0]
         vs = v.reshape((n,) + plan.shape)
@@ -234,7 +238,7 @@ def _stacked_specs(st: "kron_p.KronState", axis):
 
 def _fit_apply_kron_leaf_layer_sharded(
         st, plan, key, mesh, axis, do_update, fit_src, apply_src,
-        out_dtype, clip_amps=None, fit_first=True, **fit_kw):
+        out_dtype, clip_amps=None, fit_first=True, share=False, **fit_kw):
     """Fit (gated on do_update) + apply (+ optional per-layer clip) for one
     stacked leaf, shard_mapped over the layer axis: each device runs the
     vmapped update for exactly n_layer/k layers — compute scales 1/k by
@@ -266,10 +270,24 @@ def _fit_apply_kron_leaf_layer_sharded(
             return kron_p.update_kron_whiten_stacked(
                 s, plan, shaped[0], keys, **fit_kw)
 
-        st_new = jax.lax.cond(do_update, fit, lambda s: s, st_loc)
-        st_used = st_new if fit_first else st_loc
-        pg = jax.vmap(lambda s, gg: kron_p.precond_grad(s, plan, gg))(
-            st_used, apply_loc.reshape((n_loc,) + plan.shape))
+        def apply(s):
+            return jax.vmap(lambda x, gg: kron_p.precond_grad(x, plan, gg))(
+                s, apply_loc.reshape((n_loc,) + plan.shape))
+
+        if share and not newton:
+            # fit and apply sources coincide (validated by the transform):
+            # reuse the fit's internal Pg on fit steps, apply with the
+            # pre-update Q otherwise — one exprP chain either way.
+            def fit_share(s):
+                return kron_p.update_kron_whiten_stacked(
+                    s, plan, fit_loc[0].reshape((n_loc,) + plan.shape), keys,
+                    return_pg=True, **fit_kw)
+            st_new, pg = jax.lax.cond(
+                do_update, fit_share, lambda s: (s, apply(s)), st_loc)
+        else:
+            st_new = jax.lax.cond(do_update, fit, lambda s: s, st_loc)
+            st_used = st_new if fit_first else st_loc
+            pg = apply(st_used)
         pg = pg.astype(out_dtype)
         if clip_amps is not None:
             pg = jax.vmap(lambda x: _amp_clip(x, *clip_amps))(pg)
@@ -437,6 +455,7 @@ def scale_by_kron_whiten(
     stack_sharding: Optional[Tuple[Any, str]] = None,
     factor_sharding: Optional[Tuple[Any, Any]] = None,
     pipelined_fit: bool = False,
+    share_fit_apply: bool = False,
 ) -> optax.GradientTransformation:
     """Kronecker-factored gradient/momentum whitening preconditioner.
 
@@ -487,6 +506,21 @@ def scale_by_kron_whiten(
     misc/gpt2.py:400-413) so the stale source is the momentum buffer itself
     (no extra state), and an explicit ``preconditioner_init_scale`` (the
     on-the-fly scale would re-introduce a gradient dependency).
+
+    ``share_fit_apply=True`` reuses the P(src + damping*v) product the Q fit
+    already computes as the step's preconditioned update, skipping the
+    separate exprP apply chain on fit steps (~the single largest einsum in
+    the optimizer at update_probability 1.0; the reference always pays both,
+    psgd.py:402 + :628-631).  The shared product differs from P(src) by
+    O(damping + eps(dtype)|src|) white noise — below bf16 quantization noise
+    at the default damping.  Requires the fit and apply sources to coincide
+    (``whiten_grad=True`` with ``momentum == 0``, or momentum whitening
+    ``whiten_grad=False``), ``update_preconditioner_first=False`` (the apply
+    must use the pre-update Q the fit's product was computed with), no
+    ``pipelined_fit`` (its fit source is the stale momentum), and a dQ that
+    evaluates the full apply product during the fit (every geometry except
+    EQ).  Leaves routed through ``factor_sharding`` keep the separate apply
+    (their fit+apply is already fused inside one shard_map).
     """
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
@@ -503,6 +537,24 @@ def scale_by_kron_whiten(
                 "pipelined_fit requires an explicit preconditioner_init_scale "
                 "(the on-the-fly scale reads the current gradients, which "
                 "would re-couple the fit to the backward pass)")
+    if share_fit_apply:
+        if update_preconditioner_first:
+            raise ValueError(
+                "share_fit_apply requires update_preconditioner_first=False: "
+                "the shared product is computed with the pre-update Q")
+        if pipelined_fit:
+            raise ValueError(
+                "share_fit_apply is incompatible with pipelined_fit (the "
+                "pipelined fit source is the previous step's momentum, not "
+                "this step's apply source)")
+        if momentum > 0 and whiten_grad:
+            raise ValueError(
+                "share_fit_apply requires the fit and apply sources to "
+                "coincide: use whiten_grad=False (momentum whitening) or "
+                "momentum=0")
+        if dq == kron_p.DQ_EQ:
+            raise ValueError("share_fit_apply is unsupported for dq='EQ' "
+                             "(the EQ fit never forms the full Pg product)")
     _advisories(preconditioner_init_scale, whiten_grad, momentum, dq,
                 preconditioner_dtype)
 
@@ -660,7 +712,54 @@ def scale_by_kron_whiten(
             return out
 
         states_t = tuple(kron_states)
-        if update_preconditioner_first:  # biased update (psgd.py:615-618)
+        if share_fit_apply:
+            # one exprP chain per leaf per step: on fit steps the fit's
+            # internal P(src + damping*v) IS the preconditioned update (the
+            # sources coincide and the fit uses the pre-update Q, both
+            # validated above); otherwise apply as usual.
+            def fit_branch(states):
+                sts, pgs = [], []
+                for i, (st, plan, f, ls, src) in enumerate(
+                        zip(states, plans, flags, routed, fit_sources)):
+                    if ls:
+                        sts.append(st)
+                        pgs.append(None)
+                        continue
+                    qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
+                    st2, pg = _fit_kron_leaf(
+                        st, plan, jax.random.fold_in(k_fit, i), f, "whiten",
+                        g=src.astype(qdt), lr=lr_q, beta_l=beta_l_t,
+                        damping=damping_t,
+                        norm_k=resolve_norm_k(norm_k, qdt), return_pg=True)
+                    sts.append(st2)
+                    pgs.append(pg)
+                return tuple(sts), pgs
+
+            def apply_branch(states):
+                pgs = []
+                for st, plan, f, ls, src in zip(states, plans, flags,
+                                                routed, apply_sources):
+                    if ls:
+                        pgs.append(None)
+                        continue
+                    qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
+                    pgs.append(_apply_kron_leaf(st, plan, src.astype(qdt), f))
+                return tuple(states), pgs
+
+            states_t, raw = jax.lax.cond(do_update, fit_branch, apply_branch,
+                                         states_t)
+            pre = []
+            for pg, f, g in zip(raw, flags, leaves):
+                if pg is None:
+                    pre.append(None)
+                    continue
+                pg = pg.astype(g.dtype)
+                if f:
+                    pg = jax.vmap(lambda x: _amp_clip(x, *clip_amps))(pg)
+                else:
+                    pg = _amp_clip(pg, *clip_amps)
+                pre.append(pg.reshape(g.shape))
+        elif update_preconditioner_first:  # biased update (psgd.py:615-618)
             states_t = jax.lax.cond(do_update, fit_all, lambda s: s, states_t)
             pre = apply_all(states_t)
         else:  # unbiased: precondition with the pre-update Q
@@ -681,6 +780,7 @@ def scale_by_kron_whiten(
                     do_update, fsrc.astype(qdt), asrc.astype(qdt),
                     g.dtype, clip_amps,
                     fit_first=update_preconditioner_first,
+                    share=share_fit_apply,
                     lr=lr_q, beta_l=beta_l_t, damping=damping_t,
                     norm_k=resolve_norm_k(norm_k, qdt))
                 states_t[i] = st_new

@@ -132,11 +132,28 @@ def _per_shard_core(
     momentum_dtype: Any,
     norm_k: Optional[int],
     seed: int,
+    share_fit_apply: bool = False,
 ):
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
     if mode == "whiten" and not whiten_grad and momentum == 0.0:
         raise ValueError("Cannot whiten momentum with momentum == 0")
+    if share_fit_apply:
+        # same preconditions as scale_by_kron_whiten(share_fit_apply=True)
+        if mode != "whiten":
+            raise ValueError("share_fit_apply applies to whitening only "
+                             "(the Newton fit source is a (v, h) pair)")
+        if update_preconditioner_first:
+            raise ValueError(
+                "share_fit_apply requires update_preconditioner_first=False: "
+                "the shared product is computed with the pre-update Q")
+        if momentum > 0 and whiten_grad:
+            raise ValueError(
+                "share_fit_apply requires the fit and apply sources to "
+                "coincide: use whiten_grad=False (momentum whitening) or "
+                "momentum=0")
+        if dq == kron_p.DQ_EQ:
+            raise ValueError("share_fit_apply is unsupported for dq='EQ'")
 
     def _qdtype(leaf):
         return (preconditioner_dtype if preconditioner_dtype is not None
@@ -322,15 +339,37 @@ def _per_shard_core(
                         lr=lr_q, beta_l=beta_l_t, damping=damping_t,
                         norm_k=resolve_norm_k(norm_k, qdt))
 
-                if update_preconditioner_first:  # biased (ddp:109-110)
-                    inner = jax.lax.cond(do_update, fit, lambda s: s, inner)
-                    used = inner
-                else:
-                    used = inner
-                    inner = jax.lax.cond(do_update, fit, lambda s: s, inner)
+                if share_fit_apply and mode == "whiten":
+                    # fit and apply sources coincide (validated above):
+                    # reuse the fit's internal P(src + damping*v) as the
+                    # update on fit steps — one exprP chain per step
+                    def fit_share(s):
+                        return kron_p.update_kron_whiten(
+                            s, plan,
+                            fit_loc.reshape(plan.shape).astype(qdt), kk,
+                            lr=lr_q, beta_l=beta_l_t, damping=damping_t,
+                            norm_k=resolve_norm_k(norm_k, qdt),
+                            return_pg=True)
 
-                pg = kron_p.precond_grad(
-                    used, plan, apply_loc.reshape(plan.shape).astype(qdt))
+                    def no_fit(s):
+                        return s, kron_p.precond_grad(
+                            s, plan,
+                            apply_loc.reshape(plan.shape).astype(qdt))
+
+                    inner, pg = jax.lax.cond(do_update, fit_share, no_fit,
+                                             inner)
+                else:
+                    if update_preconditioner_first:  # biased (ddp:109-110)
+                        inner = jax.lax.cond(do_update, fit, lambda s: s,
+                                             inner)
+                        used = inner
+                    else:
+                        used = inner
+                        inner = jax.lax.cond(do_update, fit, lambda s: s,
+                                             inner)
+                    pg = kron_p.precond_grad(
+                        used, plan,
+                        apply_loc.reshape(plan.shape).astype(qdt))
                 pg = pg.astype(g_loc.dtype)
                 if mode == "whiten":
                     pg = _amp_clip(pg, *clip_amps_t)
@@ -387,6 +426,7 @@ def scale_by_per_shard_kron_whiten(
     preconditioner_dtype: Any = None,
     norm_k: Optional[int] = None,
     seed: int = 0,
+    share_fit_apply: bool = False,
 ) -> optax.GradientTransformation:
     """Per-shard gradient/momentum whitening (zero optimizer collectives).
 
@@ -394,6 +434,8 @@ def scale_by_per_shard_kron_whiten(
     entries supported).  ``preconditioner_init_scale=None`` sets the scale on
     the fly (one pmean per leaf on step 0); the reference wrapper recommends
     setting it explicitly (ddp:36-39), and so does this one.
+    ``share_fit_apply``: see scale_by_kron_whiten — reuse the fit's internal
+    Pg as the update on fit steps (same preconditions).
     """
     return _per_shard_core(
         mesh, param_specs, "whiten", preconditioner_max_size,
@@ -401,7 +443,7 @@ def scale_by_per_shard_kron_whiten(
         lr_preconditioner, betaL, damping, momentum, grad_clip_max_amps,
         float("inf"), preconditioner_update_probability,
         update_preconditioner_first, whiten_grad, dq, preconditioner_dtype,
-        momentum_dtype, norm_k, seed)
+        momentum_dtype, norm_k, seed, share_fit_apply=share_fit_apply)
 
 
 def scale_by_per_shard_kron_newton(

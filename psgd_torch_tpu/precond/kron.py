@@ -326,12 +326,25 @@ def _damped_stacked(g: jax.Array, keys: jax.Array, damping: float) -> jax.Array:
 
 def update_kron_whiten(state: KronState, plan: KronPlan, g: jax.Array,
                        key: jax.Array, lr: float = 0.1, beta_l: float = 0.9,
-                       damping: float = 1e-9, norm_k: int = 32) -> KronState:
+                       damping: float = 1e-9, norm_k: int = 32,
+                       return_pg: bool = False) -> KronState:
     """Dispatch one whitening update for the plan's dQ geometry.
+
+    With ``return_pg=True`` also returns the P(g + damping*v) product the fit
+    computed internally (pre-update Q) — every geometry except EQ evaluates
+    the full apply product as its first step, so callers whose apply source
+    equals the fit source can reuse it and skip one exprP chain per fit step
+    (the apply differs from P(g) by O(damping + eps(dtype)|g|) noise only).
 
     Reference parity: update_precond_kron_whiten_* (psgd.py:330-513)."""
     fn = _WHITEN_UPDATES[plan.dq]
-    return fn(state, plan, g, key, lr, beta_l, damping, norm_k)
+    st, pg = fn(state, plan, g, key, lr, beta_l, damping, norm_k)
+    if return_pg:
+        if pg is None:
+            raise ValueError("EQ geometry does not compute Pg during the fit; "
+                             "share_fit_apply is unsupported for dq='EQ'")
+        return st, pg
+    return st
 
 
 def _whiten_eq(state, plan, g, key, lr, beta_l, damping, norm_k):
@@ -340,7 +353,7 @@ def _whiten_eq(state, plan, g, key, lr, beta_l, damping, norm_k):
     v = jax.random.normal(kv, g.shape, g.dtype)
     eps = jnp.finfo(real_dtype_of(g.dtype)).eps
     h = g + (damping + eps * jnp.abs(g)) * v
-    return _update_eq_core(state, plan, v, h, krest, lr, beta_l, norm_k)
+    return _update_eq_core(state, plan, v, h, krest, lr, beta_l, norm_k), None
 
 
 def _update_eq_core(state, plan, v, h, key, lr, beta_l, norm_k):
@@ -409,7 +422,7 @@ def _whiten_qep(state, plan, g, key, lr, beta_l, damping, norm_k):
             lip = _update_lips(state.lips[i], ell, beta_l)
             fq = f - _coeff(lr, lip, f.dtype) * ((term1 - term2) @ f)
         new_q.append(fq); new_l.append(lip)
-    return KronState(q=tuple(new_q), lips=tuple(new_l))
+    return KronState(q=tuple(new_q), lips=tuple(new_l)), pg
 
 
 def _whiten_qeq(state, plan, g, key, lr, beta_l, damping, norm_k):
@@ -431,7 +444,7 @@ def _whiten_qeq(state, plan, g, key, lr, beta_l, damping, norm_k):
             fq = f - _coeff(lr, lip, f.dtype) * (f @ term1 - f * term2)
         new_q.append(fq); new_l.append(lip)
     new_q = _maybe_balance(tuple(new_q), jax.random.fold_in(krest, 101))
-    return KronState(q=new_q, lips=tuple(new_l))
+    return KronState(q=new_q, lips=tuple(new_l)), pg
 
 
 def _whiten_q05eq15(state, plan, g, key, lr, beta_l, damping, norm_k):
@@ -458,7 +471,7 @@ def _whiten_q05eq15(state, plan, g, key, lr, beta_l, damping, norm_k):
             fq = procrustes_step2(fq, jax.random.fold_in(krest, i + 200), norm_k=norm_k)
         new_q.append(fq); new_l.append(lip)
     new_q = _maybe_balance(tuple(new_q), jax.random.fold_in(krest, 101))
-    return KronState(q=new_q, lips=tuple(new_l))
+    return KronState(q=new_q, lips=tuple(new_l)), pg
 
 
 def _whiten_pro4p(state, plan, g, key, lr, beta_l, damping, norm_k):
@@ -481,7 +494,7 @@ def _whiten_pro4p(state, plan, g, key, lr, beta_l, damping, norm_k):
             fq = procrustes_loop3(fq, jax.random.fold_in(krest, i + 200), norm_k=norm_k)
         new_q.append(fq); new_l.append(lip)
     new_q = _maybe_balance(tuple(new_q), jax.random.fold_in(krest, 101))
-    return KronState(q=new_q, lips=tuple(new_l))
+    return KronState(q=new_q, lips=tuple(new_l)), pg
 
 
 def _whiten_quad(state, plan, g, key, lr, beta_l, damping, norm_k):
@@ -489,7 +502,8 @@ def _whiten_quad(state, plan, g, key, lr, beta_l, damping, norm_k):
     kd, krest = jax.random.split(key)
     q = state.q
     pg = jnp.einsum(plan.subs_p, *[jnp.conj(f) for f in q], *q, _damped(g, kd, damping))
-    return _quad_core(state, plan, q, pg, krest, lr, beta_l, norm_k, half_step=True)
+    return (_quad_core(state, plan, q, pg, krest, lr, beta_l, norm_k,
+                       half_step=True), pg)
 
 
 def _whiten_quad4p(state, plan, g, key, lr, beta_l, damping, norm_k):
@@ -497,7 +511,8 @@ def _whiten_quad4p(state, plan, g, key, lr, beta_l, damping, norm_k):
     kd, krest = jax.random.split(key)
     q = state.q
     pg = jnp.einsum(plan.subs_a, *q, _damped(g, kd, damping))
-    return _quad_core(state, plan, q, pg, krest, lr, beta_l, norm_k, half_step=False)
+    return (_quad_core(state, plan, q, pg, krest, lr, beta_l, norm_k,
+                       half_step=False), pg)
 
 
 def _quad_core(state, plan, q, pg, key, lr, beta_l, norm_k, half_step: bool):
@@ -821,15 +836,17 @@ def _ns_tail_stacked_xla(f, term1, lips, term2_vec, keys_bound, keys_proc,
 def update_kron_whiten_stacked(state: KronState, plan: KronPlan, g: jax.Array,
                                keys: jax.Array, lr: float = 0.1,
                                beta_l: float = 0.9, damping: float = 1e-9,
-                               norm_k: int = 32) -> KronState:
+                               norm_k: int = 32,
+                               return_pg: bool = False) -> KronState:
     """Whitening update for a layer-stacked leaf.
 
     ``state`` leaves and ``g`` carry a leading layer axis; ``keys`` is (B,).
     Specialized fast path for the default Q0.5EQ1.5 geometry; other dQ vmap
-    the per-tensor update (correct, just not launch-batched)."""
+    the per-tensor update (correct, just not launch-batched).
+    ``return_pg``: see update_kron_whiten."""
     if plan.dq != DQ_Q05EQ15 or plan.order == 0:
         fn = lambda s, gg, kk: update_kron_whiten(
-            s, plan, gg, kk, lr, beta_l, damping, norm_k)
+            s, plan, gg, kk, lr, beta_l, damping, norm_k, return_pg=return_pg)
         return jax.vmap(fn)(state, g, keys)
 
     b = g.shape[0]
@@ -865,7 +882,8 @@ def update_kron_whiten_stacked(state: KronState, plan: KronPlan, g: jax.Array,
         new_l.append(lip)
     kb = jax.vmap(lambda k: jax.random.fold_in(k, 101))(krest)
     new_q = jax.vmap(_maybe_balance)(tuple(new_q), kb)
-    return KronState(q=new_q, lips=tuple(new_l))
+    st_new = KronState(q=new_q, lips=tuple(new_l))
+    return (st_new, pg) if return_pg else st_new
 
 
 # ---------------------------------------------------------------------------

@@ -256,3 +256,42 @@ def test_per_shard_newton_hvp_is_lazy():
     assert not calls, "Hvp ran on a non-fit step"
     run(1.0)
     assert calls, "Hvp did not run on a fit step"
+
+
+def test_share_fit_apply_per_shard():
+    """share_fit_apply on the per-shard transform: tracks the unshared run
+    closely (the shared product differs by O(damping + eps|src|) noise),
+    is bitwise identical when the fit never runs, and validates its
+    preconditions."""
+    mesh = make_mesh(4, axis_names=("fsdp", "tp"))
+    specs = {"w": PS("fsdp", "tp")}
+    loss_fn, params = _quadratic(mesh, specs)
+    kw = dict(preconditioner_init_scale=1.0, momentum=0.9,
+              whiten_grad=False, update_preconditioner_first=False, seed=3)
+
+    def mk(**extra):
+        return optax.chain(
+            scale_by_per_shard_kron_whiten(mesh, specs, **kw, **extra),
+            optax.scale_by_learning_rate(0.05))
+
+    p_ref, _ = _run(mk(), loss_fn, params, 8)
+    p_shr, _ = _run(mk(share_fit_apply=True), loss_fn, params, 8)
+    np.testing.assert_allclose(np.asarray(p_ref["w"]),
+                               np.asarray(p_shr["w"]),
+                               rtol=2e-4, atol=2e-5)
+
+    # p=0: fit never runs -> both paths take the plain apply, bitwise equal
+    p_ref0, _ = _run(mk(preconditioner_update_probability=0.0),
+                     loss_fn, params, 4)
+    p_shr0, _ = _run(mk(preconditioner_update_probability=0.0,
+                        share_fit_apply=True), loss_fn, params, 4)
+    assert np.array_equal(np.asarray(p_ref0["w"]), np.asarray(p_shr0["w"]))
+
+    with pytest.raises(ValueError, match="update_preconditioner_first"):
+        scale_by_per_shard_kron_whiten(
+            mesh, specs, share_fit_apply=True,
+            update_preconditioner_first=True)
+    with pytest.raises(ValueError, match="coincide"):
+        scale_by_per_shard_kron_whiten(
+            mesh, specs, share_fit_apply=True, momentum=0.9,
+            whiten_grad=True, update_preconditioner_first=False)

@@ -1,0 +1,147 @@
+"""share_fit_apply: reuse the fit's internal P(src + damping*v) as the step's
+preconditioned update, skipping the separate exprP apply on fit steps.
+
+The shared product differs from the separate apply by O(damping + eps|src|)
+white noise only, so trajectories must track the unshared ones closely; with
+the fit gated off (p=0) the two code paths must be bitwise identical.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import psgd_torch_tpu.optim as popt
+
+
+def _quadratic():
+    key = jax.random.PRNGKey(7)
+    a = jax.random.normal(key, (12, 12)) / jnp.sqrt(12.0)
+    h = a @ a.T + 0.1 * jnp.eye(12)
+    params = {"w": jax.random.normal(jax.random.PRNGKey(8), (12, 4)),
+              "b": jnp.zeros((4,))}
+
+    def loss(p):
+        z = h @ p["w"] + p["b"]
+        return jnp.sum(z * z) / 2
+
+    return loss, params
+
+
+def _run(tx, loss, params, steps):
+    state = tx.init(params)
+
+    @jax.jit
+    def step(p, s):
+        g = jax.grad(loss)(p)
+        u, s = tx.update(g, s, p)
+        return jax.tree.map(lambda x, du: x - 1e-2 * du, p, u), s
+
+    for _ in range(steps):
+        params, state = step(params, state)
+    return params
+
+
+@pytest.mark.parametrize("momentum,whiten_grad", [(0.0, True), (0.9, False)])
+def test_shared_tracks_unshared(momentum, whiten_grad):
+    loss, params = _quadratic()
+    kw = dict(momentum=momentum, whiten_grad=whiten_grad,
+              update_preconditioner_first=False,
+              preconditioner_init_scale=1.0, seed=3)
+    p_ref = _run(popt.scale_by_kron_whiten(**kw), loss, params, 8)
+    p_shr = _run(popt.scale_by_kron_whiten(share_fit_apply=True, **kw),
+                 loss, params, 8)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_shr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_shared_identical_when_fit_never_runs():
+    loss, params = _quadratic()
+    kw = dict(update_preconditioner_first=False,
+              preconditioner_update_probability=0.0,
+              preconditioner_init_scale=1.0, seed=5)
+    p_ref = _run(popt.scale_by_kron_whiten(**kw), loss, params, 4)
+    p_shr = _run(popt.scale_by_kron_whiten(share_fit_apply=True, **kw),
+                 loss, params, 4)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_shr)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_shared_converges_on_quadratic():
+    loss, params = _quadratic()
+    tx = popt.scale_by_kron_whiten(share_fit_apply=True,
+                                   update_preconditioner_first=False,
+                                   preconditioner_init_scale=1.0, seed=11)
+    p = _run(tx, loss, params, 300)
+    assert float(loss(p)) < 1e-3 * float(loss(params))
+
+
+def test_validation_errors():
+    mk = popt.scale_by_kron_whiten
+    with pytest.raises(ValueError, match="update_preconditioner_first"):
+        mk(share_fit_apply=True, update_preconditioner_first=True)
+    with pytest.raises(ValueError, match="pipelined_fit"):
+        mk(share_fit_apply=True, update_preconditioner_first=False,
+           pipelined_fit=True, momentum=0.9, whiten_grad=False,
+           preconditioner_init_scale=1.0)
+    with pytest.raises(ValueError, match="coincide"):
+        mk(share_fit_apply=True, update_preconditioner_first=False,
+           momentum=0.9, whiten_grad=True)
+    with pytest.raises(ValueError, match="EQ"):
+        mk(share_fit_apply=True, update_preconditioner_first=False, dq="EQ")
+
+
+def test_shared_with_scanned_layers():
+    """Layer-stacked leaves take the batched stacked update's shared Pg."""
+    key = jax.random.PRNGKey(0)
+    params = {"blocks": jax.random.normal(key, (4, 16, 16)) * 0.3,
+              "head": jax.random.normal(jax.random.PRNGKey(1), (16, 8)) * 0.3}
+    scanned = {"blocks": True, "head": False}
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (16, 8))
+
+    def loss(p):
+        x = jnp.eye(16)
+        for i in range(4):
+            x = jnp.tanh(p["blocks"][i] @ x)
+        return jnp.mean((x @ p["head"] - tgt) ** 2)
+
+    kw = dict(momentum=0.9, whiten_grad=False,
+              update_preconditioner_first=False,
+              preconditioner_init_scale=1.0, scanned_layers=scanned, seed=2)
+    p_ref = _run(popt.scale_by_kron_whiten(**kw), loss, params, 6)
+    p_shr = _run(popt.scale_by_kron_whiten(share_fit_apply=True, **kw),
+                 loss, params, 6)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_shr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_shared_with_stack_sharding():
+    """share_fit_apply composes with the ZeRO-style layer-stack shard_map."""
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 devices")
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:4]), ("layers",))
+    key = jax.random.PRNGKey(0)
+    params = {"blocks": jax.random.normal(key, (4, 16, 16)) * 0.3}
+    scanned = {"blocks": True}
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (16,))
+
+    def loss(p):
+        x = jnp.ones((16,))
+        for i in range(4):
+            x = jnp.tanh(p["blocks"][i] @ x)
+        return jnp.mean((x - tgt) ** 2)
+
+    kw = dict(momentum=0.9, whiten_grad=False,
+              update_preconditioner_first=False,
+              preconditioner_init_scale=1.0, scanned_layers=scanned, seed=2)
+    p_ref = _run(popt.scale_by_kron_whiten(**kw), loss, params, 5)
+    p_shr = _run(popt.scale_by_kron_whiten(
+        share_fit_apply=True, stack_sharding=(mesh, "layers"), **kw),
+        loss, params, 5)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_shr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
