@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="restore the latest checkpoint from --ckpt_dir and "
                          "continue training from it")
+    ap.add_argument("--share-fit-apply", action="store_true",
+                    help="reuse the Q fit's Pg product as the update on fit "
+                         "steps (one exprP chain per step; needs momentum "
+                         "whitening + unbiased ordering, switched on here)")
     args = ap.parse_args()
 
     mesh = make_mesh()
@@ -65,12 +69,15 @@ def main():
     # guaranteed to match the transform's compute layout.
     p_specs = gpt2_partition_specs()
     recipe = sharding_recipe(mesh, p_specs, params, scanned_layers=mask)
+    share_kw = (dict(share_fit_apply=True, whiten_grad=False,
+                     update_preconditioner_first=False)
+                if args.share_fit_apply else {})
     opt = popt.kron_whiten(
         learning_rate=1e-3, momentum=0.9, preconditioner_max_skew=2.0,
         preconditioner_init_scale=1.0,
         preconditioner_update_probability=optax.linear_schedule(
             1.0, 0.1, max(args.steps // 2, 1)),
-        **recipe.transform_kwargs)
+        **share_kw, **recipe.transform_kwargs)
     state = opt.init(params)
 
     params, state = recipe.place(params, state)

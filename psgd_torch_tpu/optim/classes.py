@@ -156,7 +156,7 @@ class KronWhiten(_ClosureOptimizer):
                  preconditioner_update_probability=1.0,
                  update_preconditioner_first=True, whiten_grad=True,
                  dQ="Q0.5EQ1.5", preconditioner_dtype=None, norm_k=None,
-                 seed=0, scanned_layers=None):
+                 seed=0, scanned_layers=None, share_fit_apply=False):
         kwargs = dict(
             preconditioner_max_size=preconditioner_max_size,
             preconditioner_max_skew=preconditioner_max_skew,
@@ -167,7 +167,8 @@ class KronWhiten(_ClosureOptimizer):
             update_preconditioner_first=update_preconditioner_first,
             whiten_grad=whiten_grad, dq=dQ,
             preconditioner_dtype=preconditioner_dtype, norm_k=norm_k,
-            seed=seed, scanned_layers=scanned_layers)
+            seed=seed, scanned_layers=scanned_layers,
+            share_fit_apply=share_fit_apply)
         super().__init__(params, lr_params, **kwargs)
 
     def _build(self, **kwargs):
