@@ -337,14 +337,12 @@ def update_kron_whiten(state: KronState, plan: KronPlan, g: jax.Array,
     (the apply differs from P(g) by O(damping + eps(dtype)|g|) noise only).
 
     Reference parity: update_precond_kron_whiten_* (psgd.py:330-513)."""
+    if return_pg and plan.dq == DQ_EQ:
+        raise ValueError("EQ geometry does not compute Pg during the fit; "
+                         "share_fit_apply is unsupported for dq='EQ'")
     fn = _WHITEN_UPDATES[plan.dq]
     st, pg = fn(state, plan, g, key, lr, beta_l, damping, norm_k)
-    if return_pg:
-        if pg is None:
-            raise ValueError("EQ geometry does not compute Pg during the fit; "
-                             "share_fit_apply is unsupported for dq='EQ'")
-        return st, pg
-    return st
+    return (st, pg) if return_pg else st
 
 
 def _whiten_eq(state, plan, g, key, lr, beta_l, damping, norm_k):

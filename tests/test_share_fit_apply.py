@@ -145,3 +145,34 @@ def test_shared_with_stack_sharding():
     for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_shr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("dq", ["QEP", "QEQ", "Q0.5EQ1.5", "PRO4P",
+                                "QUAD", "QUAD4P"])
+def test_return_pg_matches_apply_all_geometries(dq):
+    """The fit's returned Pg equals the apply product on the pre-update Q
+    (up to the damping noise), and requesting it never changes the fitted
+    state.  EQ raises (it never forms the full product)."""
+    from psgd_torch_tpu.precond import kron
+
+    st, plan = kron.init_kron((8, 6), 1.0, dq=dq)
+    g = jax.random.normal(jax.random.PRNGKey(0), (8, 6), jnp.float32)
+    k = jax.random.PRNGKey(1)
+    st_plain = kron.update_kron_whiten(st, plan, g, k, damping=0.0)
+    st_pg, pg = kron.update_kron_whiten(st, plan, g, k, damping=0.0,
+                                        return_pg=True)
+    np.testing.assert_allclose(np.asarray(pg),
+                               np.asarray(kron.precond_grad(st, plan, g)),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(st_plain), jax.tree.leaves(st_pg)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_return_pg_eq_raises():
+    from psgd_torch_tpu.precond import kron
+
+    st, plan = kron.init_kron((4, 3), 1.0, dq="EQ")
+    g = jax.random.normal(jax.random.PRNGKey(0), (4, 3), jnp.float32)
+    with pytest.raises(ValueError, match="EQ"):
+        kron.update_kron_whiten(st, plan, g, jax.random.PRNGKey(1),
+                                return_pg=True)
