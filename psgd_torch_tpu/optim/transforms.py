@@ -202,6 +202,9 @@ def _fit_kron_leaf(st, plan, key, scanned, mode, g=None, v=None, h=None,
     the batched stacked update (one fused-kernel launch per dense factor).
     ``return_pg`` (whiten only) also returns the fit's internal P(g+damping*v)
     product so callers can reuse it as the apply (see update_kron_whiten)."""
+    if return_pg and mode != "whiten":
+        raise ValueError("return_pg only applies to whiten fits (the Newton "
+                         "fit source is a (v, h) pair, never the apply source)")
     if mode == "whiten":
         if scanned:
             n = g.shape[0]
@@ -262,13 +265,13 @@ def _fit_apply_kron_leaf_layer_sharded(
         keys = jax.lax.dynamic_slice_in_dim(
             jax.random.split(key, n_total), idx * n_loc, n_loc)
 
-        def fit(s):
+        def fit(s, return_pg=False):
             shaped = [x.reshape((n_loc,) + plan.shape) for x in fit_loc]
             if newton:
                 return kron_p.update_kron_newton_stacked(
                     s, plan, shaped[0], shaped[1], keys, **fit_kw)
             return kron_p.update_kron_whiten_stacked(
-                s, plan, shaped[0], keys, **fit_kw)
+                s, plan, shaped[0], keys, return_pg=return_pg, **fit_kw)
 
         def apply(s):
             return jax.vmap(lambda x, gg: kron_p.precond_grad(x, plan, gg))(
@@ -278,12 +281,9 @@ def _fit_apply_kron_leaf_layer_sharded(
             # fit and apply sources coincide (validated by the transform):
             # reuse the fit's internal Pg on fit steps, apply with the
             # pre-update Q otherwise — one exprP chain either way.
-            def fit_share(s):
-                return kron_p.update_kron_whiten_stacked(
-                    s, plan, fit_loc[0].reshape((n_loc,) + plan.shape), keys,
-                    return_pg=True, **fit_kw)
             st_new, pg = jax.lax.cond(
-                do_update, fit_share, lambda s: (s, apply(s)), st_loc)
+                do_update, lambda s: fit(s, return_pg=True),
+                lambda s: (s, apply(s)), st_loc)
         else:
             st_new = jax.lax.cond(do_update, fit, lambda s: s, st_loc)
             st_used = st_new if fit_first else st_loc
@@ -677,32 +677,45 @@ def scale_by_kron_whiten(
         routed = [ls or (ds is not None)
                   for ls, ds in zip(layer_sharded, dim_sharded)]
 
-        def fit_all(states):
-            out = []
+        def fit_all(states, return_pg=False):
+            out, pgs = [], []
             for i, (st, plan, f, ls, src) in enumerate(
                     zip(states, plans, flags, routed, fit_sources)):
                 if ls:
                     out.append(st)  # handled by a fused sharded path
+                    pgs.append(None)
                     continue
                 qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
-                out.append(_fit_kron_leaf(
+                res = _fit_kron_leaf(
                     st, plan, jax.random.fold_in(k_fit, i), f, "whiten",
                     g=src.astype(qdt), lr=lr_q, beta_l=beta_l_t,
-                    damping=damping_t, norm_k=resolve_norm_k(norm_k, qdt)))
-            return tuple(out)
+                    damping=damping_t, norm_k=resolve_norm_k(norm_k, qdt),
+                    return_pg=return_pg)
+                if return_pg:
+                    res, pg = res
+                    pgs.append(pg)
+                out.append(res)
+            return (tuple(out), pgs) if return_pg else tuple(out)
 
-        def apply_all(states):
-            # precondition the momentum if enabled, else the gradient
-            # (psgd.py:628-631) — independent of what Q is fitted on.
+        def apply_all_raw(states):
+            # raw P·src per leaf in the Q dtype (None for routed leaves)
             out = []
-            for st, plan, f, ls, src, g in zip(states, plans, flags,
-                                               routed, apply_sources,
-                                               leaves):
+            for st, plan, f, ls, src in zip(states, plans, flags, routed,
+                                            apply_sources):
                 if ls:
                     out.append(None)  # handled by a fused sharded path
                     continue
                 qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
-                pg = _apply_kron_leaf(st, plan, src.astype(qdt), f)
+                out.append(_apply_kron_leaf(st, plan, src.astype(qdt), f))
+            return out
+
+        def _finish(raw):
+            # cast + per-tensor amp clip + reshape (psgd.py:642-651)
+            out = []
+            for pg, f, g in zip(raw, flags, leaves):
+                if pg is None:
+                    out.append(None)
+                    continue
                 pg = pg.astype(g.dtype)
                 if f:  # per-layer clipping, like per-tensor in the reference
                     pg = jax.vmap(lambda x: _amp_clip(x, *clip_amps))(pg)
@@ -711,54 +724,21 @@ def scale_by_kron_whiten(
                 out.append(pg.reshape(g.shape))
             return out
 
+        def apply_all(states):
+            # precondition the momentum if enabled, else the gradient
+            # (psgd.py:628-631) — independent of what Q is fitted on.
+            return _finish(apply_all_raw(states))
+
         states_t = tuple(kron_states)
         if share_fit_apply:
             # one exprP chain per leaf per step: on fit steps the fit's
             # internal P(src + damping*v) IS the preconditioned update (the
             # sources coincide and the fit uses the pre-update Q, both
             # validated above); otherwise apply as usual.
-            def fit_branch(states):
-                sts, pgs = [], []
-                for i, (st, plan, f, ls, src) in enumerate(
-                        zip(states, plans, flags, routed, fit_sources)):
-                    if ls:
-                        sts.append(st)
-                        pgs.append(None)
-                        continue
-                    qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
-                    st2, pg = _fit_kron_leaf(
-                        st, plan, jax.random.fold_in(k_fit, i), f, "whiten",
-                        g=src.astype(qdt), lr=lr_q, beta_l=beta_l_t,
-                        damping=damping_t,
-                        norm_k=resolve_norm_k(norm_k, qdt), return_pg=True)
-                    sts.append(st2)
-                    pgs.append(pg)
-                return tuple(sts), pgs
-
-            def apply_branch(states):
-                pgs = []
-                for st, plan, f, ls, src in zip(states, plans, flags,
-                                                routed, apply_sources):
-                    if ls:
-                        pgs.append(None)
-                        continue
-                    qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
-                    pgs.append(_apply_kron_leaf(st, plan, src.astype(qdt), f))
-                return tuple(states), pgs
-
-            states_t, raw = jax.lax.cond(do_update, fit_branch, apply_branch,
-                                         states_t)
-            pre = []
-            for pg, f, g in zip(raw, flags, leaves):
-                if pg is None:
-                    pre.append(None)
-                    continue
-                pg = pg.astype(g.dtype)
-                if f:
-                    pg = jax.vmap(lambda x: _amp_clip(x, *clip_amps))(pg)
-                else:
-                    pg = _amp_clip(pg, *clip_amps)
-                pre.append(pg.reshape(g.shape))
+            states_t, raw = jax.lax.cond(
+                do_update, lambda s: fit_all(s, return_pg=True),
+                lambda s: (s, apply_all_raw(s)), states_t)
+            pre = _finish(raw)
         elif update_preconditioner_first:  # biased update (psgd.py:615-618)
             states_t = jax.lax.cond(do_update, fit_all, lambda s: s, states_t)
             pre = apply_all(states_t)

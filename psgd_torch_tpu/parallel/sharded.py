@@ -326,7 +326,7 @@ def _per_shard_core(
                     inner = jax.lax.cond(count == 0, rescale, lambda s: s,
                                          inner)
 
-                def fit(s):
+                def fit(s, return_pg=False):
                     if mode == "newton":
                         return kron_p.update_kron_newton(
                             s, plan, v_loc.reshape(plan.shape).astype(qdt),
@@ -337,27 +337,21 @@ def _per_shard_core(
                     return kron_p.update_kron_whiten(
                         s, plan, fit_loc.reshape(plan.shape).astype(qdt), kk,
                         lr=lr_q, beta_l=beta_l_t, damping=damping_t,
-                        norm_k=resolve_norm_k(norm_k, qdt))
+                        norm_k=resolve_norm_k(norm_k, qdt),
+                        return_pg=return_pg)
 
                 if share_fit_apply and mode == "whiten":
                     # fit and apply sources coincide (validated above):
                     # reuse the fit's internal P(src + damping*v) as the
                     # update on fit steps — one exprP chain per step
-                    def fit_share(s):
-                        return kron_p.update_kron_whiten(
-                            s, plan,
-                            fit_loc.reshape(plan.shape).astype(qdt), kk,
-                            lr=lr_q, beta_l=beta_l_t, damping=damping_t,
-                            norm_k=resolve_norm_k(norm_k, qdt),
-                            return_pg=True)
-
                     def no_fit(s):
                         return s, kron_p.precond_grad(
                             s, plan,
                             apply_loc.reshape(plan.shape).astype(qdt))
 
-                    inner, pg = jax.lax.cond(do_update, fit_share, no_fit,
-                                             inner)
+                    inner, pg = jax.lax.cond(
+                        do_update, lambda s: fit(s, return_pg=True), no_fit,
+                        inner)
                 else:
                     if update_preconditioner_first:  # biased (ddp:109-110)
                         inner = jax.lax.cond(do_update, fit, lambda s: s,

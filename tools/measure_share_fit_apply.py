@@ -17,6 +17,7 @@ Q-update+apply time).
 Writes results/share_fit_apply_cpu.json.
 """
 
+import contextlib
 import json
 import pathlib
 import statistics
@@ -64,7 +65,7 @@ def _time_opt(opt, params, state, steps, out_sh=None, mesh=None):
         updates, state = opt.update(grads, state, params)
         return optax.apply_updates(params, updates), state
 
-    ctx = mesh if mesh is not None else _nullcontext()
+    ctx = mesh if mesh is not None else contextlib.nullcontext()
     with ctx:
         jitted = (jax.jit(opt_step, out_shardings=out_sh) if out_sh
                   else jax.jit(opt_step))
@@ -80,14 +81,6 @@ def _time_opt(opt, params, state, steps, out_sh=None, mesh=None):
             times.append(time.perf_counter() - t0)
     return {"step_ms_median": 1e3 * statistics.median(times),
             "step_ms_best": 1e3 * min(times)}
-
-
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False
 
 
 def main(steps=20):
