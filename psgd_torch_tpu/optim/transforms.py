@@ -353,7 +353,8 @@ def _dim_sharded_state_specs(plan, eff_axes):
 
 def _fit_apply_kron_leaf_dim_sharded(
         st, plan, key, mesh, dim_axes, do_update, fit_src, apply_src,
-        out_dtype, clip_amps, fit_first=True, mode="whiten", **fit_kw):
+        out_dtype, clip_amps, fit_first=True, mode="whiten", share=False,
+        **fit_kw):
     """Fit + apply for a dim-sharded non-stacked leaf under shard_map: one
     GLOBAL preconditioner, local contractions + psum, with mesh axes on
     dense dims re-sharded onto a diag dim by all_to_all (see
@@ -388,7 +389,7 @@ def _fit_apply_kron_leaf_dim_sharded(
     def local(st_loc, fit_loc, apply_loc, do_update):
         st_new, pg = kron_p.update_kron_whiten_dim_sharded(
             st_loc, plan, fit_loc, key, dim_axes, rplan, apply_loc,
-            do_update, fit_first=fit_first, **fit_kw)
+            do_update, fit_first=fit_first, share=share, **fit_kw)
         pg = _sharded_amp_clip(pg.astype(out_dtype), clip_amps, all_axes,
                                plan.numel)
         return st_new, pg
@@ -519,8 +520,10 @@ def scale_by_kron_whiten(
     must use the pre-update Q the fit's product was computed with), no
     ``pipelined_fit`` (its fit source is the stale momentum), and a dQ that
     evaluates the full apply product during the fit (every geometry except
-    EQ).  Leaves routed through ``factor_sharding`` keep the separate apply
-    (their fit+apply is already fused inside one shard_map).
+    EQ).  Applies on every routing: plain leaves, ``scanned_layers`` stacks,
+    ``stack_sharding`` (shared inside the layer shard_map), and
+    ``factor_sharding`` (shared inside the dim-sharded shard_map, in the
+    compute layout).
     """
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
@@ -782,6 +785,7 @@ def scale_by_kron_whiten(
                     do_update, fsrc.astype(qdt), asrc.astype(qdt),
                     g.dtype, clip_amps,
                     fit_first=update_preconditioner_first,
+                    share=share_fit_apply,
                     lr=lr_q, beta_l=beta_l_t, damping=damping_t,
                     norm_k=resolve_norm_k(norm_k, qdt))
                 states_t[i] = st_new

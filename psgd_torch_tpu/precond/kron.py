@@ -970,7 +970,7 @@ def update_kron_whiten_dim_sharded(
         state: KronState, plan: KronPlan, g: jax.Array, key: jax.Array,
         dim_axes, reshard_plan, apply_src: jax.Array, do_update,
         lr: float = 0.1, beta_l: float = 0.9, damping: float = 1e-9,
-        norm_k: int = 32, fit_first: bool = True):
+        norm_k: int = 32, fit_first: bool = True, share: bool = False):
     """Whiten-fit + apply for a dim-sharded leaf, executed INSIDE shard_map.
 
     Args:
@@ -983,11 +983,14 @@ def update_kron_whiten_dim_sharded(
         diag dim via all_to_all so every contraction scales by the full
         shard count (an all-gather fallback covers non-divisible cases).
       do_update: traced bool (update-probability gate).
+      share: reuse the fit's internal P(g + damping*v) as the apply on fit
+        steps (requires g and apply_src to be the same source and
+        fit_first=False; see scale_by_kron_whiten(share_fit_apply=True)).
     Returns (new_state_local, preconditioned_apply_src_local).
     """
     return _update_kron_dim_sharded(
         state, plan, g, key, dim_axes, reshard_plan, apply_src, do_update,
-        "whiten", lr, beta_l, damping, norm_k, fit_first)
+        "whiten", lr, beta_l, damping, norm_k, fit_first, share)
 
 
 def update_kron_newton_dim_sharded(
@@ -1005,7 +1008,8 @@ def update_kron_newton_dim_sharded(
 
 def _update_kron_dim_sharded(
         state, plan, fit_src, key, dim_axes, reshard_plan, apply_src,
-        do_update, mode, lr, beta_l, damping, norm_k, fit_first):
+        do_update, mode, lr, beta_l, damping, norm_k, fit_first,
+        share: bool = False):
     if plan.dq not in DIM_SHARDABLE_DQS:
         raise NotImplementedError(
             "dim-sharded update supports Q0.5EQ1.5, QUAD and QEQ")
@@ -1037,7 +1041,7 @@ def _update_kron_dim_sharded(
     kd = jax.random.split(k_noise)[0]
     krest = jax.random.split(key)[1]
 
-    def fit(st):
+    def fit_core(st):
         q = st.q
         if mode == "newton":
             v, h = fit_src
@@ -1148,12 +1152,25 @@ def _update_kron_dim_sharded(
             u = jax.random.uniform(jax.random.fold_in(krest, 101))
             new_q = jax.lax.cond(u < 0.01, balance, lambda t: t,
                                  tuple(new_q))
-        return KronState(q=tuple(new_q), lips=tuple(new_l))
+        return KronState(q=tuple(new_q), lips=tuple(new_l)), pg
 
-    st_new = jax.lax.cond(do_update, fit, lambda s: s, state)
-    st_used = st_new if fit_first else state
-    pg_out = jnp.einsum(plan.subs_p, *[jnp.conj(f) for f in st_used.q],
-                        *st_used.q, apply_src)
+    def _apply(st):
+        return jnp.einsum(plan.subs_p, *[jnp.conj(f) for f in st.q],
+                          *st.q, apply_src)
+
+    if share and mode == "whiten":
+        # fit and apply sources coincide (validated by the transform, which
+        # also forces fit_first=False): the fit's P(src + damping*v) — in
+        # the compute layout, pre-update Q — IS the apply product, so fit
+        # steps skip the separate exprP chain.
+        st_new, pg_out = jax.lax.cond(
+            do_update, fit_core, lambda s: (s, _apply(s)), state)
+    else:
+        # drop the fit's internal pg inside the branch (DCE'd by XLA)
+        st_new = jax.lax.cond(do_update, lambda s: fit_core(s)[0],
+                              lambda s: s, state)
+        st_used = st_new if fit_first else state
+        pg_out = _apply(st_used)
 
     # back to the leaf's own sharding: inverse all_to_alls, then slice the
     # gathered dims to this device's block

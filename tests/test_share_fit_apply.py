@@ -176,3 +176,59 @@ def test_return_pg_eq_raises():
     with pytest.raises(ValueError, match="EQ"):
         kron.update_kron_whiten(st, plan, g, jax.random.PRNGKey(1),
                                 return_pg=True)
+
+
+@pytest.mark.slow
+def test_shared_with_factor_sharding():
+    """share_fit_apply composes with the dim-sharded (factor_sharding)
+    embedding path: the shared run tracks the unshared run, and with the
+    fit gated off the two are bitwise identical."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from jax.sharding import PartitionSpec as PS
+    from psgd_torch_tpu.parallel import (make_mesh, named_shardings,
+                                         psgd_state_specs)
+
+    mesh = make_mesh(8, axis_names=("fsdp",))
+    specs = {"emb": PS("fsdp", None)}
+    tgt = jax.random.normal(jax.random.PRNGKey(2), (64, 16))
+    params = {"emb": jnp.zeros((64, 16))}
+
+    def loss(p):
+        return jnp.mean((p["emb"] - tgt) ** 2)
+
+    def run(p_update, share):
+        tx = popt.scale_by_kron_whiten(
+            momentum=0.9, whiten_grad=False,
+            update_preconditioner_first=False,
+            preconditioner_update_probability=p_update,
+            preconditioner_init_scale=1.0, seed=3,
+            factor_sharding=(mesh, specs), share_fit_apply=share)
+        st = tx.init(params)
+        st = jax.device_put(st, named_shardings(
+            mesh, psgd_state_specs(specs, st, factor_sharding_params=params,
+                                   mesh=mesh)))
+        p = jax.device_put(params, named_shardings(mesh, specs))
+
+        @jax.jit
+        def step(p, s):
+            g = jax.grad(loss)(p)
+            u, s = tx.update(g, s, p)
+            return jax.tree.map(lambda x, du: x - 1e-2 * du, p, u), s
+
+        with mesh:
+            for _ in range(6):
+                p, st = step(p, st)
+                jax.block_until_ready(p)
+        return p
+
+    p_ref = run(1.0, False)
+    p_shr = run(1.0, True)
+    np.testing.assert_allclose(np.asarray(p_ref["emb"]),
+                               np.asarray(p_shr["emb"]),
+                               rtol=2e-4, atol=2e-5)
+
+    p_ref0 = run(0.0, False)
+    p_shr0 = run(0.0, True)
+    assert np.array_equal(np.asarray(p_ref0["emb"]),
+                          np.asarray(p_shr0["emb"]))
