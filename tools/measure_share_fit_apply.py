@@ -92,22 +92,37 @@ def main(steps=20):
     out = {"config": {"n_layer": cfg.n_layer, "n_embd": cfg.n_embd,
                       "update_probability": 1.0,
                       "recipe": "momentum whitening, unbiased order"},
-           "note": ("replicated ratio is the arithmetic saving (one exprP "
-                    "chain removed per fit step); the production sharded "
-                    "layout on the 1-core virtual CPU mesh is reshard/"
-                    "collective-bound at this tiny size, so the saved exprP "
-                    "barely moves its median — the TPU bench's "
-                    "psgd_p1.0_shared_ratio is the hardware datapoint"),
+           "note": ("the saving is the exprP apply chain, whose share of "
+                    "the optimizer grows with factor width (it is "
+                    "O(numel * sum n) vs the fit's O(n^3) tails) — the "
+                    "width-512 replicated row shows the trend; the TPU "
+                    "bench's psgd_p1.0_shared_ratio at GPT-2 124M widths "
+                    "is the hardware datapoint"),
            "results": {}}
 
-    # replicated, single logical tree
+    # replicated, single logical tree — at the toy width and at 512 (the
+    # exprP fraction, and hence the saving, grows with width)
+    for tag, prm, msk in [("replicated", params, mask)]:
+        for share in (False, True):
+            opt = _opt(msk, share)
+            state = opt.init(prm)
+            name = "shared" if share else "unshared"
+            out["results"][f"{tag}_{name}"] = _time_opt(
+                opt, prm, state, steps)
+            print(tag, name, out["results"][f"{tag}_{name}"], flush=True)
+
+    cfg_w = gpt2.tiny_config(n_layer=2, n_embd=512, n_head=8, block_size=64,
+                             vocab_size=512, compute_dtype=jnp.float32)
+    params_w = gpt2.init_gpt2(jax.random.fold_in(key, 5), cfg_w)
+    mask_w = gpt2.scanned_layers_mask(params_w)
     for share in (False, True):
-        opt = _opt(mask, share)
-        state = opt.init(params)
+        opt = _opt(mask_w, share)
+        state = opt.init(params_w)
         name = "shared" if share else "unshared"
-        out["results"]["replicated_" + name] = _time_opt(
-            opt, params, state, steps)
-        print(name, out["results"]["replicated_" + name], flush=True)
+        out["results"]["replicated512_" + name] = _time_opt(
+            opt, params_w, state, max(steps // 2, 5))
+        print("replicated512", name, out["results"]["replicated512_" + name],
+              flush=True)
 
     # production sharded layout (SCALING_r03 mesh): dp1 x fsdp4 x tp2
     mesh = make_mesh(8, axis_names=("dp", "fsdp", "tp"),
@@ -130,7 +145,7 @@ def main(steps=20):
         print("production", name, out["results"]["production_" + name],
               flush=True)
 
-    for layout in ("replicated", "production"):
+    for layout in ("replicated", "replicated512", "production"):
         u = out["results"][layout + "_unshared"]["step_ms_median"]
         s = out["results"][layout + "_shared"]["step_ms_median"]
         out[layout + "_shared_over_unshared"] = round(s / u, 4)
