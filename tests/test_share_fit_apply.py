@@ -232,3 +232,29 @@ def test_shared_with_factor_sharding():
     p_shr0 = run(0.0, True)
     assert np.array_equal(np.asarray(p_ref0["emb"]),
                           np.asarray(p_shr0["emb"]))
+
+
+def test_shared_noise_bounded_in_bf16():
+    """The docs claim the shared product's extra damping noise is of the
+    order of bf16 quantization noise: with a bf16 Q state the one-step
+    shared update must deviate from the separate apply by a small relative
+    amount (the O(eps(bf16)|src|) damping term propagated through P)."""
+    loss, params = _quadratic()
+    kw = dict(momentum=0.9, whiten_grad=False,
+              update_preconditioner_first=False,
+              preconditioner_init_scale=1.0, seed=3,
+              preconditioner_dtype=jnp.bfloat16)
+
+    def one_update(share):
+        tx = popt.scale_by_kron_whiten(share_fit_apply=share, **kw)
+        st = tx.init(params)
+        g = jax.grad(loss)(params)
+        u, _ = tx.update(g, st, params)
+        return u
+
+    u_ref = one_update(False)
+    u_shr = one_update(True)
+    for a, b in zip(jax.tree.leaves(u_ref), jax.tree.leaves(u_shr)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-30)
+        assert rel < 0.05, f"shared bf16 update deviates {rel:.4f}"
