@@ -114,3 +114,62 @@ def psgd_metrics(state: Any, updates: Optional[Any] = None,
         out["update_abs_max"] = jnp.stack(
             [jnp.max(jnp.abs(x).astype(jnp.float32)) for x in leaves]).max()
     return out
+
+
+def state_memory_report(state: Any, per_device: bool = False) -> Dict[str, int]:
+    """Bytes held by a PSGD optimizer state, grouped by role.
+
+    Returns ``{"q": ..., "lips": ..., "momentum": ..., "other": ...,
+    "total": ...}`` in bytes.  With ``per_device=True`` each leaf is counted
+    at its per-device shard size (from ``leaf.sharding``) — the number that
+    matters when choosing ``stack_sharding`` / ``factor_sharding`` /
+    ``vector_sharding`` layouts: replicated Q reports its full size, a
+    k-way-sharded Q reports 1/k of it.  Runs on concrete (placed) states,
+    outside jit.  Accepts a PSGDState or an optax chain state containing
+    one; the reference has no counterpart (its state lives untyped in
+    ``torch.optim`` dicts, SURVEY.md §5 checkpoint note)."""
+    import numpy as np
+
+    report = {"q": 0, "lips": 0, "momentum": 0, "other": 0, "total": 0}
+
+    def nbytes(x) -> int:
+        if not hasattr(x, "dtype") or not hasattr(x, "shape"):
+            return 0
+        shape = x.shape
+        if per_device and getattr(x, "sharding", None) is not None:
+            try:
+                shape = x.sharding.shard_shape(x.shape)
+            except Exception:
+                pass
+        return int(np.prod(shape, dtype=np.int64)) * jnp.dtype(x.dtype).itemsize
+
+    def add(group: str, tree) -> None:
+        for leaf in jax.tree_util.tree_leaves(tree):
+            b = nbytes(leaf)
+            report[group] += b
+            report["total"] += b
+
+    def walk_precond(st) -> None:
+        if _is_kron_like(st):  # KronState / DenseState / ShardedKronLeaf
+            add("q", st.q)
+            add("lips", st.lips)
+        elif hasattr(st, "d") and hasattr(st, "ld"):  # LRAState / UVdState
+            add("q", (st.u, st.v, st.d))
+            add("lips", (st.lu, st.lv, st.ld))
+        elif isinstance(st, (tuple, list)):
+            for s in st:
+                walk_precond(s)
+        else:  # legacy / affine / xmat / splu NamedTuples: count everything
+            add("q", st)
+
+    def walk(st) -> None:
+        if hasattr(st, "precond") and hasattr(st, "mu"):  # PSGDState-like
+            add("momentum", st.mu)
+            walk_precond(st.precond)
+            add("other", (st.count, st.key))
+        elif isinstance(st, (tuple, list)):
+            for s in st:
+                walk(s)
+
+    walk(state)
+    return report
