@@ -474,7 +474,34 @@ def convergence(n_steps: int = 1000, data_seed: int = 1):
     print(json.dumps(result), flush=True)
 
 
+def _backend_watchdog(seconds: int = 300):
+    """The axon TPU tunnel can hang indefinitely at backend init when it is
+    down (jax.devices() blocks in C with the GIL released).  Arm a daemon
+    timer that, if the first device query has not completed in ``seconds``,
+    prints one parseable JSON error line and hard-exits — so the driver
+    records a failure instead of a hang."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if done.wait(seconds):
+            return
+        print(json.dumps({
+            "metric": "gpt2_124m_psgd_kron_step_time_ratio_vs_adamw",
+            "value": None, "unit": "x", "vs_baseline": None,
+            "error": f"TPU backend init did not complete in {seconds}s "
+                     "(axon tunnel down?)"}), flush=True)
+        os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
+    jax.devices()  # blocks here if the tunnel is down
+    done.set()
+
+
 if __name__ == "__main__":
+    _backend_watchdog()
     if "--convergence" in sys.argv:
         extra = [a for a in sys.argv[1:] if a.isdigit()]
         seed = 1
