@@ -63,7 +63,10 @@ def resolve_norm_k(norm_k, dtype) -> int:
     (psgd.py:48-49): the bound's bias grows with dtype noise, and a weak
     bound destabilizes the Q step.  ``norm_k=None`` (the transforms'
     default) picks automatically from the preconditioner dtype; an explicit
-    integer is respected as-is.
+    integer is respected as-is by this resolver — but note the bound
+    primitives themselves additionally floor k at 128 for factors wider
+    than 1024 (``width_norm_k``), matching the fused Pallas kernels, so an
+    explicit small k only takes full effect up to that width.
     """
     if norm_k is not None:
         return int(norm_k)
@@ -110,6 +113,9 @@ def _subspace_norm_bound(a: jax.Array, normalizer: jax.Array, key: jax.Array,
 
 def width_norm_k(k: int, n: int) -> int:
     """Floor the subspace dim at 128 for factors wider than 1024.
+
+    Applied INSIDE norm_lower_bound_spd/skh — deliberately overriding an
+    explicit small k for wide factors (see resolve_norm_k's note).
 
     The reference validated k=32 only up to ~1k-wide factors (psgd.py:48-49,
     misc/tightness_of_spectral_norm_bound.py caps at 1000^2); with k fixed

@@ -175,6 +175,12 @@ def _shared_flags(shared_layers, scan_flags, leaves):
     if shared_layers is None:
         return [False] * len(leaves)
     if shared_layers is True:
+        if not any(scan_flags):
+            raise ValueError(
+                "shared_layers=True pools each scanned layer stack, but no "
+                "leaf is marked in scanned_layers — pass scanned_layers "
+                "(otherwise the stack would get a dense cross-layer factor, "
+                "not pooled per-layer whitening)")
         return list(scan_flags)
     shared = [bool(s) for s in jax.tree_util.tree_leaves(shared_layers)]
     if len(shared) != len(leaves):
@@ -186,6 +192,29 @@ def _shared_flags(shared_layers, scan_flags, leaves):
             f"shared_layers marks leaves {bad} that are not in scanned_layers "
             "— factor sharing pools over the leading layer-stack axis")
     return shared
+
+
+def _kron_plans(leaves, flags, shared, max_size, max_skew, dq):
+    """Per-leaf KronPlans; shared (pooled) stacks force a diagonal factor on
+    the layer axis so the whole stack is one plan (one set of dense factors
+    + a per-layer diagonal)."""
+    out = []
+    for g, f, sh in zip(leaves, flags, shared):
+        shape = _squeezed_shape(g.shape[1:] if f else g.shape)
+        fd = ((True,) + (False,) * (len(shape) - 1)
+              if sh and g.shape[0] > 1 else None)
+        out.append(kron_p.make_kron_plan(shape, max_size, max_skew, dq,
+                                         force_diag=fd))
+    return out
+
+
+def _scan_shared_flags(scanned_layers, shared_layers, leaves):
+    """(vmapped-per-layer flags, shared flags): shared leaves are handled as
+    ONE whole tensor (layer axis pooled by the plan's forced-diag factor),
+    not vmapped per layer."""
+    scan = _scan_flags(scanned_layers, leaves)
+    shared = _shared_flags(shared_layers, scan, leaves)
+    return [f and not s for f, s in zip(scan, shared)], shared
 
 
 def _init_kron_leaf(plan, scale0, dtype, scanned, n_stack):
@@ -562,22 +591,11 @@ def scale_by_kron_whiten(
                 preconditioner_dtype)
 
     def _plans(leaves, flags, shared):
-        out = []
-        for g, f, sh in zip(leaves, flags, shared):
-            shape = _squeezed_shape(g.shape[1:] if f else g.shape)
-            fd = ((True,) + (False,) * (len(shape) - 1)
-                  if sh and g.shape[0] > 1 else None)
-            out.append(kron_p.make_kron_plan(
-                shape, preconditioner_max_size, preconditioner_max_skew, dq,
-                force_diag=fd))
-        return out
+        return _kron_plans(leaves, flags, shared, preconditioner_max_size,
+                           preconditioner_max_skew, dq)
 
     def _flags_shared(leaves):
-        scan = _scan_flags(scanned_layers, leaves)
-        shared = _shared_flags(shared_layers, scan, leaves)
-        # shared leaves are handled as ONE whole tensor (layer axis pooled
-        # by the plan's forced-diag factor), not vmapped per layer
-        return [f and not s for f, s in zip(scan, shared)], shared
+        return _scan_shared_flags(scanned_layers, shared_layers, leaves)
 
     def _qdtype(leaf):
         return preconditioner_dtype if preconditioner_dtype is not None else leaf.dtype
@@ -876,20 +894,11 @@ def scale_by_kron_newton(
                 preconditioner_dtype)
 
     def _plans(leaves, flags, shared):
-        out = []
-        for g, f, sh in zip(leaves, flags, shared):
-            shape = _squeezed_shape(g.shape[1:] if f else g.shape)
-            fd = ((True,) + (False,) * (len(shape) - 1)
-                  if sh and g.shape[0] > 1 else None)
-            out.append(kron_p.make_kron_plan(
-                shape, preconditioner_max_size, preconditioner_max_skew, dq,
-                force_diag=fd))
-        return out
+        return _kron_plans(leaves, flags, shared, preconditioner_max_size,
+                           preconditioner_max_skew, dq)
 
     def _flags_shared(leaves):
-        scan = _scan_flags(scanned_layers, leaves)
-        shared = _shared_flags(shared_layers, scan, leaves)
-        return [f and not s for f, s in zip(scan, shared)], shared
+        return _scan_shared_flags(scanned_layers, shared_layers, leaves)
 
     def _qdtype(leaf):
         return preconditioner_dtype if preconditioner_dtype is not None else leaf.dtype
@@ -1244,16 +1253,7 @@ def _lra_whiten_sharded(g_vec, st, mu0, count, k_fit, do_update, lr_q,
         def apply(x):
             src = (mu if momentum > 0 else g_loc).astype(qdt)
             pg = lra_p.precond_grad(x, src, axis_name=ax_).astype(g_loc.dtype)
-            rdt = real_dtype_of(pg.dtype)
-            sq = jax.lax.psum(
-                jnp.sum(jnp.real(pg * jnp.conj(pg)).astype(jnp.float32)), ax_)
-            avg_amp = jnp.sqrt(sq / n_true)
-            pg = pg * jnp.minimum(
-                1.0, amp_avg / jnp.maximum(avg_amp, 1e-30)).astype(rdt)
-            max_el = jnp.asarray(amp_el, rdt)
-            if jnp.issubdtype(pg.dtype, jnp.complexfloating):
-                return pg / jnp.maximum(jnp.abs(pg) / max_el, 1.0)
-            return jnp.clip(pg, -max_el, max_el)
+            return _sharded_amp_clip(pg, (amp_avg, amp_el), ax_, n_true)
 
         if update_first:
             s = jax.lax.cond(gate, fit, lambda x: x, s)
@@ -1451,10 +1451,14 @@ def _lra_newton_sharded(g_vec, v_vec, h_vec, st, mu0, count, k_fit, pred,
         pre = lra_p.precond_grad(s, src.astype(qdt),
                                  axis_name=ax_).astype(g_loc.dtype)
         if not inf_norm:
+            # accumulate the trust-region norm in f32 (bf16 would
+            # over/underflow over millions of squares, like _amp_clip)
             sq = jax.lax.psum(
-                jnp.sum(jnp.real(pre * jnp.conj(pre))), ax_)
+                jnp.sum(jnp.real(pre * jnp.conj(pre)).astype(jnp.float32)),
+                ax_)
             pre = pre * jnp.minimum(
-                1.0, rest[0] / jnp.maximum(jnp.sqrt(sq), 1e-38))
+                1.0, rest[0] / jnp.maximum(jnp.sqrt(sq), 1e-38)).astype(
+                    real_dtype_of(pre.dtype))
         return pre, s, mu
 
     fn = shard_map(local, mesh=mesh_,

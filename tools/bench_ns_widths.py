@@ -19,7 +19,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 # persistent compile cache (same location as the test suite's): the sweep is
 # dominated by cold XLA compiles otherwise
