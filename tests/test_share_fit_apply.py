@@ -258,3 +258,20 @@ def test_shared_noise_bounded_in_bf16():
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
         rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-30)
         assert rel < 0.05, f"shared bf16 update deviates {rel:.4f}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("dq", ["QEQ", "QUAD", "QEP", "PRO4P"])
+def test_shared_tracks_unshared_other_geometries(dq):
+    """The transform-level share path holds for every supported dQ, not
+    just the default Q0.5EQ1.5 (per-geometry Pg==apply is covered at the
+    kron level; this drives the full transform)."""
+    loss, params = _quadratic()
+    kw = dict(update_preconditioner_first=False, dq=dq,
+              preconditioner_init_scale=1.0, seed=3)
+    p_ref = _run(popt.scale_by_kron_whiten(**kw), loss, params, 6)
+    p_shr = _run(popt.scale_by_kron_whiten(share_fit_apply=True, **kw),
+                 loss, params, 6)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_shr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
