@@ -136,8 +136,11 @@ def main(medium: bool = False):
     on_tpu = dev.platform == "tpu"
 
     if on_tpu:
+        # medium: 24 layers of un-remat'd bf16 activations (~24x144M temps)
+        # exceed a single v5e chip's HBM, so remat the blocks there; the
+        # ratio is still apples-to-apples (both optimizers pay the recompute)
         cfg = (gpt2.gpt2_350m if medium else gpt2.gpt2_124m)(
-            compute_dtype=jnp.bfloat16, remat=False)
+            compute_dtype=jnp.bfloat16, remat=medium)
         batch, seq = (2 if medium else 4), cfg.block_size
     else:  # CPU smoke mode
         cfg = gpt2.tiny_config(n_layer=2, n_embd=128, n_head=4,

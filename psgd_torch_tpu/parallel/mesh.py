@@ -341,17 +341,24 @@ def dense_state_specs(state: Any, axis: str) -> Any:
 
 
 def drift_check(tree: Any, mesh: Mesh, axis: str) -> Any:
-    """Max |x - mean_over(axis)| per leaf: the SPMD debug analogue of the
+    """Max |x - x_at_replica_0| per leaf: the SPMD debug analogue of the
     reference's resync broadcasts (wrapped_as_torch_optimizer_for_ddp.py:163-170).
 
-    Under correct SPMD this is exactly 0; a nonzero value means a replica's
-    copy of nominally-replicated state has drifted (e.g. from mixing traced
-    and host computations).  Cost: one psum per leaf."""
+    Bitwise-identical replicas give exactly 0 — the comparison is against a
+    broadcast of replica 0's copy, not against ``pmean`` (whose own
+    accumulation rounds: summing k identical fp32 copies is inexact for
+    non-power-of-two partial sums, so a mean-based check reports ~1-ULP
+    "drift" on perfectly synchronized state).  A nonzero value means a
+    replica's copy of nominally-replicated state has truly diverged (e.g.
+    from mixing traced and host computations, or per-participant rounding in
+    emulated CPU collectives).  Cost: one broadcast (all-gather of one copy)
+    + one pmax per leaf — debug tool, not a per-step health metric."""
     from ..utils.compat import shard_map
 
     def local(x):
-        mean = jax.lax.pmean(x, axis)
-        return jnp.max(jnp.abs(x - mean))
+        # replica 0's copy, exactly: gather one element of the axis
+        x0 = jax.lax.all_gather(x, axis)[0]
+        return jax.lax.pmax(jnp.max(jnp.abs(x - x0)), axis)
 
     def one(x):
         spec = PS(*([None] * x.ndim))

@@ -183,9 +183,23 @@ def test_stack_sharded_precond_matches_replicated():
 def test_drift_check_zero_and_nonzero():
     from psgd_torch_tpu.parallel import drift_check
     mesh = make_mesh(8, axis_names=("dp",))
-    x = {"a": jnp.ones((8, 4)), "b": jnp.arange(8.0)}
+    # irrational-mantissa values: a pmean-based check would report ~1-ULP
+    # false drift here (summing 8 identical copies rounds at the 3x partial
+    # sum); the replica-0-broadcast comparison must be exactly 0
+    x = {"a": jax.random.normal(jax.random.key(0), (8, 4)),
+         "b": jnp.arange(8.0) * jnp.pi}
     d = drift_check(x, mesh, "dp")
     assert float(d["a"]) == 0.0 and float(d["b"]) == 0.0
+    # genuinely diverged replicas: build a per-device-different array that
+    # CLAIMS to be replicated — drift must be the true max deviation from
+    # replica 0 (device 7 holds zeros + 7)
+    from psgd_torch_tpu.utils.compat import shard_map
+    mk = shard_map(lambda z: z + jax.lax.axis_index("dp").astype(z.dtype),
+                   mesh=mesh, in_specs=PS(None, None),
+                   out_specs=PS(None, None))
+    bad = mk(jnp.zeros((2, 2)))
+    d2 = drift_check(bad, mesh, "dp")
+    assert float(d2) == 7.0
 
 
 def test_stack_sharded_qupdate_flops_scale():
