@@ -139,10 +139,12 @@ def main(medium: bool = False):
         # medium: 24 layers of un-remat'd bf16 activations (~24x144M temps)
         # exceed a single v5e chip's HBM, so remat the blocks there; the
         # ratio is still apples-to-apples (both optimizers pay the recompute)
+        remat = medium
         cfg = (gpt2.gpt2_350m if medium else gpt2.gpt2_124m)(
-            compute_dtype=jnp.bfloat16, remat=medium)
+            compute_dtype=jnp.bfloat16, remat=remat)
         batch, seq = (2 if medium else 4), cfg.block_size
     else:  # CPU smoke mode
+        remat = False
         cfg = gpt2.tiny_config(n_layer=2, n_embd=128, n_head=4,
                                vocab_size=1024, block_size=64,
                                compute_dtype=jnp.float32)
@@ -180,8 +182,12 @@ def main(medium: bool = False):
     opt01, opt1 = psgd_opt(0.1), psgd_opt(1.0)
     opt1s = psgd_opt(1.0, share_fit_apply=True,
                      update_preconditioner_first=False)
-    (t_adamw, t_psgd01, t_psgd1, t_psgd1s), \
-        (l_adamw, l_psgd01, l_psgd1, l_psgd1s) = \
+    # pipelined_fit: the Q fit reads only the previous step's momentum, so
+    # XLA overlaps it with the model's forward/backward — the fit's cost
+    # should largely vanish from the p=1.0 step time
+    opt1p = psgd_opt(1.0, pipelined_fit=True)
+    (t_adamw, t_psgd01, t_psgd1, t_psgd1s, t_psgd1p), \
+        (l_adamw, l_psgd01, l_psgd1, l_psgd1s, l_psgd1p) = \
         time_interleaved([
             (make_n_step(adamw, loss_fn),
              (params, adamw.init(params), tokens, targets)),
@@ -191,12 +197,16 @@ def main(medium: bool = False):
              (params, opt1.init(params), tokens, targets)),
             (make_n_step(opt1s, loss_fn),
              (params, opt1s.init(params), tokens, targets)),
+            (make_n_step(opt1p, loss_fn),
+             (params, opt1p.init(params), tokens, targets)),
         ])
     log(f"adamw step: {t_adamw*1e3:.2f} ms (loss {l_adamw:.3f})")
     log(f"psgd step (p=0.1): {t_psgd01*1e3:.2f} ms (loss {l_psgd01:.3f})")
     log(f"psgd step (p=1.0): {t_psgd1*1e3:.2f} ms (loss {l_psgd1:.3f})")
     log(f"psgd step (p=1.0, share_fit_apply): {t_psgd1s*1e3:.2f} ms "
         f"(loss {l_psgd1s:.3f})")
+    log(f"psgd step (p=1.0, pipelined_fit): {t_psgd1p*1e3:.2f} ms "
+        f"(loss {l_psgd1p:.3f})")
 
     # --- isolated Q-update + Pg-apply (the primary kernel metric).
     # The loop body mirrors a real optimizer step: update + apply to a
@@ -335,13 +345,15 @@ def main(medium: bool = False):
         "detail": {
             "device": str(dev),
             "params_m": round(n_params / 1e6, 1),
-            "batch": batch, "seq": seq,
+            "batch": batch, "seq": seq, "remat": remat,
             "adamw_ms": round(t_adamw * 1e3, 2),
             "psgd_p0.1_ms": round(t_psgd01 * 1e3, 2),
             "psgd_p1.0_ms": round(t_psgd1 * 1e3, 2),
             "psgd_p1.0_ratio": round(t_psgd1 / t_adamw, 4),
             "psgd_p1.0_shared_ms": round(t_psgd1s * 1e3, 2),
             "psgd_p1.0_shared_ratio": round(t_psgd1s / t_adamw, 4),
+            "psgd_p1.0_pipelined_ms": round(t_psgd1p * 1e3, 2),
+            "psgd_p1.0_pipelined_ratio": round(t_psgd1p / t_adamw, 4),
             "q_update_apply_us": round(t_q * 1e6),
             "q_update_mfu": None if q_mfu is None else round(q_mfu, 4),
             "q_update_gflop_per_step": (

@@ -351,13 +351,18 @@ def drift_check(tree: Any, mesh: Mesh, axis: str) -> Any:
     "drift" on perfectly synchronized state).  A nonzero value means a
     replica's copy of nominally-replicated state has truly diverged (e.g.
     from mixing traced and host computations, or per-participant rounding in
-    emulated CPU collectives).  Cost: one broadcast (all-gather of one copy)
-    + one pmax per leaf — debug tool, not a per-step health metric."""
+    emulated CPU collectives).  Cost: one psum of a single masked copy (the
+    all-reduce of replica 0's copy zero-padded elsewhere — no k-times
+    transient materialization, unlike ``all_gather(x)[0]``) + one pmax per
+    leaf — debug tool, not a per-step health metric."""
     from ..utils.compat import shard_map
 
     def local(x):
-        # replica 0's copy, exactly: gather one element of the axis
-        x0 = jax.lax.all_gather(x, axis)[0]
+        # replica 0's copy, exactly: sum a copy that is zero except at
+        # replica 0.  Adding k-1 exact zeros is exact in every float format,
+        # so x0 is bitwise replica 0's value on every participant.
+        idx = jax.lax.axis_index(axis)
+        x0 = jax.lax.psum(jnp.where(idx == 0, x, jnp.zeros_like(x)), axis)
         return jax.lax.pmax(jnp.max(jnp.abs(x - x0)), axis)
 
     def one(x):
