@@ -420,6 +420,7 @@ def convergence(n_steps: int = 1000, data_seed: int = 1):
             return gpt2.loss_gpt2(params, tokens, targets, cfg)
 
         params, tail, curve = params0, [], []
+        t_start = None  # start the clock after step 0 (compile excluded)
         for i in range(n_steps):
             tokens, targets = lm_data.corpus_batch(
                 jax.random.fold_in(jax.random.key(data_seed), i), train_toks,
@@ -429,15 +430,20 @@ def convergence(n_steps: int = 1000, data_seed: int = 1):
                 curve.append((i, round(float(loss), 4)))
             if i >= (3 * n_steps) // 4:
                 tail.append(float(loss))
+            if i == 0:
+                float(loss)  # sync: compile + first step done
+                t_start = time.perf_counter()
+        jax.block_until_ready(params)
+        wall_s = time.perf_counter() - t_start
         vt, vy = lm_data.corpus_batch(jax.random.key(999), val_toks,
                                       8, cfg.block_size)
         vloss = float(eval_loss(params, vt, vy))
-        return sum(tail) / len(tail), vloss, curve
+        return sum(tail) / len(tail), vloss, curve, wall_s
 
     adamw = optax.adamw(1e-3, b1=0.9, b2=0.95, weight_decay=0.01)
-    l_adamw, v_adamw, c_adamw = run(adamw)
+    l_adamw, v_adamw, c_adamw, w_adamw = run(adamw)
     log(f"adamw  train loss (last quarter mean): {l_adamw:.4f}  "
-        f"val: {v_adamw:.4f}")
+        f"val: {v_adamw:.4f}  wall {w_adamw:.1f}s")
     log(f"adamw  curve: {c_adamw}")
 
     psgd = popt.kron_whiten(
@@ -450,9 +456,9 @@ def convergence(n_steps: int = 1000, data_seed: int = 1):
         preconditioner_dtype=pdt, momentum_dtype=pdt,
         norm_k=128 if on_tpu else 32, weight_decay=0.01,
         scanned_layers=mask)
-    l_psgd, v_psgd, c_psgd = run(psgd)
+    l_psgd, v_psgd, c_psgd, w_psgd = run(psgd)
     log(f"psgd   train loss (last quarter mean): {l_psgd:.4f}  "
-        f"val: {v_psgd:.4f}")
+        f"val: {v_psgd:.4f}  wall {w_psgd:.1f}s")
     log(f"psgd   curve: {c_psgd}")
 
     result = {
@@ -470,6 +476,8 @@ def convergence(n_steps: int = 1000, data_seed: int = 1):
                    "adamw_val_loss": round(v_adamw, 4),
                    "psgd_val_loss": round(v_psgd, 4),
                    "val_ratio": round(v_psgd / v_adamw, 4),
+                   "adamw_wall_s": round(w_adamw, 1),
+                   "psgd_wall_s": round(w_psgd, 1),
                    "adamw_curve": c_adamw, "psgd_curve": c_psgd},
     }
     # time-to-quality: first curve point where PSGD is at or below AdamW's
@@ -480,6 +488,10 @@ def convergence(n_steps: int = 1000, data_seed: int = 1):
     if hit is not None:
         result["detail"]["psgd_steps_to_adamw_final_train_loss"] = hit
         result["detail"]["steps_to_quality_ratio"] = round(hit / n_steps, 3)
+        # wall-clock framing: PSGD seconds to reach AdamW's final train
+        # loss, over AdamW's full-run seconds (both measured, post-compile)
+        result["detail"]["wallclock_to_quality_ratio"] = round(
+            (hit / n_steps) * w_psgd / w_adamw, 3)
     out = pathlib.Path(__file__).parent / "results" / "gpt2_convergence.json"
     try:
         out.write_text(json.dumps(result, indent=1))

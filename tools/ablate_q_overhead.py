@@ -63,12 +63,12 @@ def main():
             preconditioner_dtype=jnp.bfloat16, norm_k=128,
             grad_clip_max_amps=clip, scanned_layers=mask)
 
-    def mk_full(tx, g):
+    def mk_full(tx):
         def make(n):
-            def run(state_in):
+            def run(g_in, state_in):
                 def body(_, carry):
                     s, acc = carry
-                    u, s = tx.update(g, s)
+                    u, s = tx.update(g_in, s)
                     return s, acc + cksum(u)
                 s, acc = jax.lax.fori_loop(
                     0, n, body, (state_in, jnp.zeros((), jnp.float32)))
@@ -85,7 +85,7 @@ def main():
     ]
     base = None
     for name, tx, g in cases:
-        t = slope_time(mk_full(tx, g), (tx.init(params),))
+        t = slope_time(mk_full(tx), (g, tx.init(params)))
         if base is None:
             base = t
         print(f"{name:10s}: {t*1e6:7.0f} us/step  "
