@@ -470,6 +470,10 @@ def convergence(n_steps: int = 1000, data_seed: int = 1):
                    "data": "real text (data/corpus.txt.gz: license prose + "
                            "open-source python sources; WikiText-103 "
                            "unavailable without egress)",
+                   "tokens_seen": n_steps * batch * cfg.block_size,
+                   "corpus_tokens": int(train_toks.size),
+                   "epochs_over_corpus": round(
+                       n_steps * batch * cfg.block_size / train_toks.size, 1),
                    "data_seed": data_seed,
                    "adamw_train_loss": round(l_adamw, 4),
                    "psgd_train_loss": round(l_psgd, 4),

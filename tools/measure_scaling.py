@@ -50,8 +50,12 @@ from psgd_torch_tpu.utils.profiling import collective_bytes
 
 
 def build(mesh, cfg, mask, p_specs, mode):
-    """mode: 'sharded' (production recipe), 'replicated' (Q work replicated),
-    'adamw' (reference)."""
+    """mode: 'sharded' (production layout), 'replicated' (Q work
+    replicated), 'adamw' (reference), or the production-recipe variants
+    'sharded_shared' (momentum whitening + share_fit_apply — the
+    dryrun_multichip recipe) and 'sharded_pipelined' (momentum whitening +
+    pipelined_fit: the fit and its collectives are data-independent of the
+    backward pass)."""
     if mode == "adamw":
         return optax.adamw(1e-3, weight_decay=1e-2)
     stack_axis = ("fsdp" if cfg.n_layer % mesh.shape["fsdp"] == 0 else None)
@@ -59,10 +63,15 @@ def build(mesh, cfg, mask, p_specs, mode):
               preconditioner_init_scale=1.0,
               preconditioner_update_probability=1.0,  # isolate the Q work
               scanned_layers=mask)
-    if mode == "sharded":
+    if mode.startswith("sharded"):
         if stack_axis:
             kw["stack_sharding"] = (mesh, stack_axis)
         kw["factor_sharding"] = (mesh, p_specs)
+    if mode == "sharded_shared":
+        kw.update(whiten_grad=False, share_fit_apply=True,
+                  update_preconditioner_first=False)
+    elif mode == "sharded_pipelined":
+        kw.update(whiten_grad=False, pipelined_fit=True)
     return popt.kron_whiten(**kw)
 
 
@@ -73,7 +82,7 @@ def _setup(mesh, cfg, mask, p_specs, mode):
     params = gpt2.init_gpt2(key, cfg)
     state = opt.init(params)
     stack_axis = ("fsdp" if cfg.n_layer % mesh.shape["fsdp"] == 0 else None)
-    if mode == "sharded":
+    if mode.startswith("sharded"):
         s_specs = psgd_state_specs(p_specs, state, scanned_layers=mask,
                                    stack_axis=stack_axis,
                                    factor_sharding_params=params, mesh=mesh)
@@ -260,7 +269,8 @@ def main():
     p_specs = gpt2_partition_specs()
 
     results = {}
-    for mode in ("adamw", "replicated", "sharded"):
+    for mode in ("adamw", "replicated", "sharded", "sharded_shared",
+                 "sharded_pipelined"):
         results[mode] = measure(mesh, cfg, mask, p_specs, mode, args.steps,
                                 args.batch)
         print(f"{mode:10s}: {results[mode]['step_ms_median']:8.2f} ms/step, "
