@@ -17,7 +17,7 @@ JSON also carries an ICI-time estimate of the communication at TPU link
 bandwidth next to the MXU time the sharding saves — the quantity that
 decides the layout on hardware.
 
-Usage: python tools/measure_scaling.py [--steps 30] [--out SCALING_r03.json]
+Usage: python tools/measure_scaling.py [--steps 30] [--out SCALING_r04.json]
 """
 
 import argparse
@@ -256,7 +256,7 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--skip-124m", action="store_true")
-    ap.add_argument("--out", default="SCALING_r03.json")
+    ap.add_argument("--out", default="SCALING_r04.json")
     args = ap.parse_args()
 
     mesh = make_mesh()
