@@ -496,7 +496,9 @@ def convergence(n_steps: int = 1000, data_seed: int = 1):
         # loss, over AdamW's full-run seconds (both measured, post-compile)
         result["detail"]["wallclock_to_quality_ratio"] = round(
             (hit / n_steps) * w_psgd / w_adamw, 3)
-    out = pathlib.Path(__file__).parent / "results" / "gpt2_convergence.json"
+    name = ("gpt2_convergence.json" if data_seed == 1
+            else f"gpt2_convergence_seed{data_seed}.json")
+    out = pathlib.Path(__file__).parent / "results" / name
     try:
         out.write_text(json.dumps(result, indent=1))
         log(f"wrote {out}")

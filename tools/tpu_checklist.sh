@@ -23,4 +23,9 @@ timeout 3600 env PSGD_TEST_TPU=1 python -m pytest \
   tests/test_pallas_kernels.py tests/test_tpu_sharded_paths.py -q
 
 # 5. convergence on the committed real-text corpus (results/gpt2_convergence.json)
-timeout 5400 python bench.py --convergence 1000
+#    3000 steps is the committed r4 artifact (PSGD val 0.55x, quality at 5%
+#    of steps); use 1000 for a quick check
+timeout 5400 python bench.py --convergence 3000
+
+# 6. Q-update overhead attribution (stderr table; no artifact)
+timeout 2400 python tools/ablate_q_overhead.py
