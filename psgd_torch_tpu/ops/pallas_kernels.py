@@ -17,12 +17,13 @@ FLOP-bound.  The subspace-iteration norm bounds use the in-kernel PRNG
 
 Constraints: real dtypes (fp32/bf16 inputs, fp32 compute), n a multiple of
 128.  The monolithic kernel holds ~7 n x n fp32 intermediates and compiles
-to n <= 1536 (measured on v5e: 87% MFU @1024, 92% @1536, 2-3.7x the XLA
-path); 1536 < n <= 2048 goes through a two-kernel split (bound+step |
-procrustes, <= ~4 n x n live each, one q1 HBM round-trip; 74-82% MFU,
-1.8-2.1x XLA); wider factors to 4096 bf16 / 3072 f32 through the tiled
-six-kernel path (row-block streaming; 62% MFU @3072, 68% @4096, 1.26-1.34x
-the XLA fallback's ~49-51%; results/ns_widths_bf16.json).  Above the
+to n <= 1536 (measured on v5e, bf16, layer-batched: 5.2x the XLA path at
+n=768, ~1.9-2.2x at 1024-1536, 76-100% of the analytical-FLOPs roofline);
+1536 < n <= 2048 goes through a two-kernel split (bound+step | procrustes,
+<= ~4 n x n live each, one q1 HBM round-trip; 74% MFU, 1.9x XLA); wider
+factors to 4096 bf16 / 3072 f32 through the tiled six-kernel path
+(row-block streaming; 62% MFU @3072, 68% @4096, 1.27-1.32x
+the XLA fallback's ~49-52%; results/ns_widths_bf16.json).  Above the
 envelope callers fall back to the plain XLA path (the big matmuls run at
 peak, the bounds/transpose epilogues pay extra HBM passes, and the gap
 shrinks as the 6 n^3 MXU work outgrows the O(n^2) epilogues; see
@@ -548,12 +549,12 @@ _NS_TILED_MAX_F32 = 3072    # resident f32 matrix 36 MB
 
 def ns_update_supported(n: int, dtype) -> bool:
     """Whether the fused kernel path handles this factor: the monolithic
-    kernel to n <= 1536 (measured 87-92% MFU on v5e), the two-kernel split
-    to n <= 2048 for bf16 Q (74-82% MFU, 1.8-2.1x the XLA path; the f32
-    working set exceeds VMEM there), and the tiled six-kernel path to
-    n <= 4096 bf16 / 3072 f32 (row-block streaming; 62-68% MFU where the
-    XLA fallback runs ~49-51%).  Above the envelope callers fall back to
-    XLA."""
+    kernel to n <= 1536 (measured 1.9-5.2x the XLA path on v5e), the
+    two-kernel split to n <= 2048 for bf16 Q (74% MFU, 1.9x the XLA path;
+    the f32 working set exceeds VMEM there), and the tiled six-kernel path
+    to n <= 4096 bf16 / 3072 f32 (row-block streaming; 62-68% MFU where
+    the XLA fallback runs ~49-52%).  Above the envelope callers fall back
+    to XLA."""
     if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
         return False
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
