@@ -374,7 +374,8 @@ def main(medium: bool = False):
     print(json.dumps(result), flush=True)
 
 
-def convergence(n_steps: int = 1000, data_seed: int = 1):
+def convergence(n_steps: int = 1000, data_seed: int = 1,
+                anneal: bool = False):
     """`python bench.py --convergence [steps]`: train GPT-2 with AdamW and
     PSGD-Kron at the reference's matched settings (misc/gpt2.py:400-413;
     PSGD lr = Adam lr / sqrt((1+beta)/(1-beta)) = 1e-3/4) on the committed
@@ -440,14 +441,23 @@ def convergence(n_steps: int = 1000, data_seed: int = 1):
         vloss = float(eval_loss(params, vt, vy))
         return sum(tail) / len(tail), vloss, curve, wall_s
 
-    adamw = optax.adamw(1e-3, b1=0.9, b2=0.95, weight_decay=0.01)
+    # --anneal gives BOTH optimizers the same cosine lr decay (to 10% of
+    # peak) — guards the comparison against "AdamW only plateaued because
+    # its lr stayed fixed"; the default matches the reference's constant-lr
+    # protocol (misc/gpt2.py:400-413)
+    def lr_of(peak):
+        if not anneal:
+            return peak
+        return optax.cosine_decay_schedule(peak, n_steps, alpha=0.1)
+
+    adamw = optax.adamw(lr_of(1e-3), b1=0.9, b2=0.95, weight_decay=0.01)
     l_adamw, v_adamw, c_adamw, w_adamw = run(adamw)
     log(f"adamw  train loss (last quarter mean): {l_adamw:.4f}  "
         f"val: {v_adamw:.4f}  wall {w_adamw:.1f}s")
     log(f"adamw  curve: {c_adamw}")
 
     psgd = popt.kron_whiten(
-        learning_rate=1e-3 / 4, momentum=0.9, whiten_grad=False,
+        learning_rate=lr_of(1e-3 / 4), momentum=0.9, whiten_grad=False,
         preconditioner_max_skew=2.0, preconditioner_init_scale=1.0,
         # the reference's production recipe anneals the update probability
         # from 1.0 down over training (misc/gpt2.py:440)
@@ -498,6 +508,9 @@ def convergence(n_steps: int = 1000, data_seed: int = 1):
             (hit / n_steps) * w_psgd / w_adamw, 3)
     name = ("gpt2_convergence.json" if data_seed == 1
             else f"gpt2_convergence_seed{data_seed}.json")
+    if anneal:
+        name = name.replace(".json", "_annealed.json")
+        result["detail"]["lr_schedule"] = "cosine to 10% over the run (both optimizers)"
     out = pathlib.Path(__file__).parent / "results" / name
     try:
         out.write_text(json.dumps(result, indent=1))
@@ -541,7 +554,8 @@ if __name__ == "__main__":
         for a in sys.argv[1:]:
             if a.startswith("--seed="):
                 seed = int(a.split("=", 1)[1])
-        convergence(int(extra[0]) if extra else 1000, data_seed=seed)
+        convergence(int(extra[0]) if extra else 1000, data_seed=seed,
+                    anneal="--anneal" in sys.argv)
     elif "--medium" in sys.argv:
         main(medium=True)
     else:
