@@ -503,9 +503,15 @@ def convergence(n_steps: int = 1000, data_seed: int = 1,
         result["detail"]["psgd_steps_to_adamw_final_train_loss"] = hit
         result["detail"]["steps_to_quality_ratio"] = round(hit / n_steps, 3)
         # wall-clock framing: PSGD seconds to reach AdamW's final train
-        # loss, over AdamW's full-run seconds (both measured, post-compile)
+        # loss, over AdamW's full-run seconds.  Extrapolated from PSGD's
+        # RUN-AVERAGE step time; its first `hit` steps run at p ~ 1 (the
+        # update-probability anneal) and are up to ~4% slower per step at
+        # 124M, so the true ratio is up to that much higher.
         result["detail"]["wallclock_to_quality_ratio"] = round(
             (hit / n_steps) * w_psgd / w_adamw, 3)
+        result["detail"]["wallclock_to_quality_note"] = (
+            "extrapolated from PSGD's run-average step time; early steps "
+            "run at update probability ~1 and are up to ~4% slower")
     name = ("gpt2_convergence.json" if data_seed == 1
             else f"gpt2_convergence_seed{data_seed}.json")
     if anneal:

@@ -18,7 +18,7 @@ FLOP-bound.  The subspace-iteration norm bounds use the in-kernel PRNG
 Constraints: real dtypes (fp32/bf16 inputs, fp32 compute), n a multiple of
 128.  The monolithic kernel holds ~7 n x n fp32 intermediates and compiles
 to n <= 1536 (measured on v5e, bf16, layer-batched: 5.2x the XLA path at
-n=768, ~1.9-2.2x at 1024-1536, 76-100% of the analytical-FLOPs roofline);
+n=768, 1.6-2.2x at 1024-1536, 70-100% of the analytical-FLOPs roofline);
 1536 < n <= 2048 goes through a two-kernel split (bound+step | procrustes,
 <= ~4 n x n live each, one q1 HBM round-trip; 74% MFU, 1.9x XLA); wider
 factors to 4096 bf16 / 3072 f32 through the tiled six-kernel path
@@ -549,7 +549,7 @@ _NS_TILED_MAX_F32 = 3072    # resident f32 matrix 36 MB
 
 def ns_update_supported(n: int, dtype) -> bool:
     """Whether the fused kernel path handles this factor: the monolithic
-    kernel to n <= 1536 (measured 1.9-5.2x the XLA path on v5e), the
+    kernel to n <= 1536 (measured 1.6-5.2x the XLA path on v5e), the
     two-kernel split to n <= 2048 for bf16 Q (74% MFU, 1.9x the XLA path;
     the f32 working set exceeds VMEM there), and the tiled six-kernel path
     to n <= 4096 bf16 / 3072 f32 (row-block streaming; 62-68% MFU where

@@ -117,13 +117,13 @@ def test_mixed_scanned_and_plain_leaves():
 
 
 def test_27_dim_tensor_rejected():
-    params = {"w": jnp.zeros((1,) * 26 + (2,) * 1)}  # 27 dims
-    tx = popt.scale_by_kron_whiten(preconditioner_init_scale=1.0)
     # the reference rejects > 26 dims (psgd.py:197-198); here size-1 dims
-    # are squeezed first, so build a genuinely-27-dim tensor
-    params = {"w": jnp.zeros((2,) * 27)}
+    # are squeezed first, so use a genuinely-27-dim shape — via eval_shape
+    # so the 2^27-element tensor is never materialized
+    tx = popt.scale_by_kron_whiten(preconditioner_init_scale=1.0)
+    params = {"w": jax.ShapeDtypeStruct((2,) * 27, jnp.float32)}
     with pytest.raises(ValueError):
-        tx.init(params)
+        jax.eval_shape(tx.init, params)
 
 
 def test_empty_and_nested_pytree_containers():

@@ -13,13 +13,14 @@ Timing: slope between two fori_loop lengths (memory: axon ~25 ms dispatch
 latency; everything loop-carried so nothing DCEs).
 """
 
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from psgd_torch_tpu.models import gpt2
 from psgd_torch_tpu.optim import transforms as T
