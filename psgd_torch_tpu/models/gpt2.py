@@ -72,6 +72,16 @@ def gpt2_350m(**kw) -> GPT2Config:
     return GPT2Config(**base)
 
 
+def gpt2_774m(**kw) -> GPT2Config:
+    """GPT-2 large proportions (36 x 1280, 20 heads): ~1.5x a 16 GB chip's
+    AdamW working set in fp32 state, comfortable for PSGD with bf16
+    momentum + bf16 Q — the single-chip scale-headroom datapoint."""
+    base = dict(vocab_size=50304, block_size=1024, n_layer=36, n_head=20,
+                n_embd=1280)
+    base.update(kw)
+    return GPT2Config(**base)
+
+
 def init_gpt2(key: jax.Array, cfg: GPT2Config) -> dict:
     """GPT-2 initialization: normal(0, 0.02), residual projections scaled by
     1/sqrt(2 L); biases zero; LM head tied to wte."""
