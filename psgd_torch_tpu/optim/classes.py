@@ -156,7 +156,8 @@ class KronWhiten(_ClosureOptimizer):
                  preconditioner_update_probability=1.0,
                  update_preconditioner_first=True, whiten_grad=True,
                  dQ="Q0.5EQ1.5", preconditioner_dtype=None, norm_k=None,
-                 seed=0, scanned_layers=None, share_fit_apply=False):
+                 seed=0, scanned_layers=None, share_fit_apply=False,
+                 cache_p=False):
         kwargs = dict(
             preconditioner_max_size=preconditioner_max_size,
             preconditioner_max_skew=preconditioner_max_skew,
@@ -168,7 +169,7 @@ class KronWhiten(_ClosureOptimizer):
             whiten_grad=whiten_grad, dq=dQ,
             preconditioner_dtype=preconditioner_dtype, norm_k=norm_k,
             seed=seed, scanned_layers=scanned_layers,
-            share_fit_apply=share_fit_apply)
+            share_fit_apply=share_fit_apply, cache_p=cache_p)
         super().__init__(params, lr_params, **kwargs)
 
     def _build(self, **kwargs):
@@ -186,7 +187,7 @@ class KronNewton(_ClosureOptimizer):
                  preconditioner_update_probability=1.0,
                  exact_hessian_vector_product=True, dQ="Q0.5EQ1.5",
                  preconditioner_dtype=None, norm_k=None, seed=0,
-                 scanned_layers=None):
+                 scanned_layers=None, cache_p=False):
         kwargs = dict(
             preconditioner_max_size=preconditioner_max_size,
             preconditioner_max_skew=preconditioner_max_skew,
@@ -195,7 +196,7 @@ class KronNewton(_ClosureOptimizer):
             momentum=momentum, grad_clip_max_norm=grad_clip_max_norm,
             preconditioner_update_probability=preconditioner_update_probability,
             dq=dQ, preconditioner_dtype=preconditioner_dtype, norm_k=norm_k,
-            seed=seed, scanned_layers=scanned_layers,
+            seed=seed, scanned_layers=scanned_layers, cache_p=cache_p,
             exact_hessian_vector_product=exact_hessian_vector_product)
         super().__init__(params, lr_params, **kwargs)
 

@@ -261,6 +261,22 @@ def _apply_kron_leaf(st, plan, g, scanned):
     return kron_p.precond_grad(st, plan, g.reshape(plan.shape))
 
 
+def _cache_kron_leaf(st, plan, scanned):
+    """Per-factor P_i = Q_i^H Q_i for one leaf (vmapped over a layer stack)."""
+    if scanned:
+        return jax.vmap(lambda s: kron_p.compute_p_factors(s, plan))(st)
+    return kron_p.compute_p_factors(st, plan)
+
+
+def _apply_kron_leaf_cached(pc, plan, g, scanned):
+    if scanned:
+        n = g.shape[0]
+        gs = g.reshape((n,) + plan.shape)
+        return jax.vmap(
+            lambda p, gg: kron_p.precond_grad_cached(p, plan, gg))(pc, gs)
+    return kron_p.precond_grad_cached(pc, plan, g.reshape(plan.shape))
+
+
 def _stacked_specs(st: "kron_p.KronState", axis):
     from jax.sharding import PartitionSpec as PS
     return kron_p.KronState(
@@ -430,11 +446,16 @@ def _fit_apply_kron_leaf_dim_sharded(
 
 
 class PSGDState(NamedTuple):
-    """Common optimizer state: step count, PRNG key, momentum, preconditioner."""
+    """Common optimizer state: step count, PRNG key, momentum, preconditioner.
+
+    ``pcache`` (None unless ``cache_p=True`` on the Kron transforms) holds
+    per-leaf tuples of cached P_i = Q_i^H Q_i factors, refreshed on fit steps
+    (kron.compute_p_factors)."""
     count: jax.Array
     key: jax.Array
     mu: Any
     precond: Any
+    pcache: Any = None
 
 
 def _advisories(init_scale, whiten_grad, momentum, dq, q_dtype):
@@ -486,6 +507,7 @@ def scale_by_kron_whiten(
     factor_sharding: Optional[Tuple[Any, Any]] = None,
     pipelined_fit: bool = False,
     share_fit_apply: bool = False,
+    cache_p: bool = False,
 ) -> optax.GradientTransformation:
     """Kronecker-factored gradient/momentum whitening preconditioner.
 
@@ -553,6 +575,28 @@ def scale_by_kron_whiten(
     ``stack_sharding`` (shared inside the layer shard_map), and
     ``factor_sharding`` (shared inside the dim-sharded shard_map, in the
     compute layout).
+
+    ``cache_p=True`` caches P_i = Q_i^H Q_i per factor after every Q fit, so
+    the apply on NON-fit steps is a single factor pass (the *4P apply cost,
+    psgd.py:573) instead of the two-sided exprP chain — it removes the
+    Q_i^H Q_i recomputation, leaving only the irreducible P_i*G
+    contractions: 2x fewer apply matmul FLOPs on square dense-dense leaves,
+    a (m+n)/n factor on dense(m) x diag(n) leaves.  The payoff regime is
+    the production operating point (update probability annealed to
+    0.01-0.1, where the apply chain dominates optimizer cost): measured
+    optimizer step 0.94x (width 128) / 0.87x (width 512 — the saving grows
+    with width) at p = 0.03; at p = 1.0 it LOSES slightly (every step
+    refits and pays the extra Q_i^H Q_i refresh) —
+    results/cache_p_cpu.json.  Donate the optimizer state into the jitted
+    step (standard practice): on non-fit steps the unchanged cache rides
+    through a lax.cond, which costs a copy without donation.  Same trajectory to float rounding (the
+    cached product reassociates the einsum).  Costs one extra set of dense
+    factors of state.  Composes with ``share_fit_apply`` (fit steps reuse
+    the fit's Pg, non-fit steps apply through the cache) and
+    ``pipelined_fit`` (the refresh reads only post-fit state, so it
+    overlaps too).  Not meaningful for the fit-P geometries (their apply is
+    already one pass) and not yet routed through
+    ``stack_sharding``/``factor_sharding`` leaves (raises).
     """
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
@@ -587,6 +631,16 @@ def scale_by_kron_whiten(
         if dq == kron_p.DQ_EQ:
             raise ValueError("share_fit_apply is unsupported for dq='EQ' "
                              "(the EQ fit never forms the full Pg product)")
+    if cache_p:
+        if dq in kron_p._FIT_P:
+            raise ValueError(
+                "cache_p is a no-op for the fit-P geometries (QUAD4P/PRO4P): "
+                "their apply is already a single factor pass — drop cache_p")
+        if stack_sharding is not None or factor_sharding is not None:
+            raise ValueError(
+                "cache_p is not yet supported together with stack_sharding/"
+                "factor_sharding (the cached factors are not routed through "
+                "the sharded fit+apply paths)")
     _advisories(preconditioner_init_scale, whiten_grad, momentum, dq,
                 preconditioner_dtype)
 
@@ -611,8 +665,11 @@ def scale_by_kron_whiten(
         mu = (jax.tree_util.tree_map(
             lambda x: jnp.zeros(x.shape, momentum_dtype or x.dtype), params)
             if momentum > 0 else None)
+        pcache0 = (tuple(_cache_kron_leaf(st, p, f) for st, p, f
+                         in zip(kron_states, plans, flags))
+                   if cache_p else None)
         return PSGDState(count=jnp.zeros((), jnp.int32), key=jax.random.PRNGKey(seed),
-                         mu=mu, precond=tuple(kron_states))
+                         mu=mu, precond=tuple(kron_states), pcache=pcache0)
 
     def update_fn(updates, state, params=None):
         del params
@@ -625,7 +682,12 @@ def scale_by_kron_whiten(
 
         sq = [leaf_view(g, f, p) for g, f, p in zip(leaves, flags, plans)]
 
+        def _cache_all(states):
+            return tuple(_cache_kron_leaf(st, p, f)
+                         for st, p, f in zip(states, plans, flags))
+
         kron_states = list(state.precond)
+        pcache_t = state.pcache
         if preconditioner_init_scale is None:
             # the |g|^4 sweep over every leaf is only needed once; gate it
             # under lax.cond so step 1+ never executes it (it costs ~one HBM
@@ -636,6 +698,12 @@ def scale_by_kron_whiten(
                     leaves, flags, _sched(damping, state.count)),
                 lambda: jnp.ones((), jnp.float32))
             kron_states = _rescale_kron_if(state.count == 0, kron_states, plans, scale)
+            if cache_p:
+                # Q changed on step 0 (on-the-fly rescale): refresh the cache
+                pcache_t = jax.lax.cond(
+                    state.count == 0,
+                    lambda: _cache_all(tuple(kron_states)),
+                    lambda: state.pcache)
 
         # momentum EMA (bias-warmed)
         if momentum > 0:
@@ -718,16 +786,21 @@ def scale_by_kron_whiten(
                 out.append(res)
             return (tuple(out), pgs) if return_pg else tuple(out)
 
-        def apply_all_raw(states):
-            # raw P·src per leaf in the Q dtype (None for routed leaves)
+        def apply_all_raw(states, pcs=None):
+            # raw P·src per leaf in the Q dtype (None for routed leaves);
+            # ``pcs`` (cache_p) applies through the cached P_i factors
             out = []
-            for st, plan, f, ls, src in zip(states, plans, flags, routed,
-                                            apply_sources):
+            for i, (st, plan, f, ls, src) in enumerate(
+                    zip(states, plans, flags, routed, apply_sources)):
                 if ls:
                     out.append(None)  # handled by a fused sharded path
                     continue
                 qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
-                out.append(_apply_kron_leaf(st, plan, src.astype(qdt), f))
+                if pcs is not None:
+                    out.append(_apply_kron_leaf_cached(
+                        pcs[i], plan, src.astype(qdt), f))
+                else:
+                    out.append(_apply_kron_leaf(st, plan, src.astype(qdt), f))
             return out
 
         def _finish(raw):
@@ -750,22 +823,49 @@ def scale_by_kron_whiten(
             # (psgd.py:628-631) — independent of what Q is fitted on.
             return _finish(apply_all_raw(states))
 
+        def fit_and_cache(s):
+            ns = fit_all(s)
+            return ns, _cache_all(ns)
+
         states_t = tuple(kron_states)
         if share_fit_apply:
             # one exprP chain per leaf per step: on fit steps the fit's
             # internal P(src + damping*v) IS the preconditioned update (the
             # sources coincide and the fit uses the pre-update Q, both
             # validated above); otherwise apply as usual.
-            states_t, raw = jax.lax.cond(
-                do_update, lambda s: fit_all(s, return_pg=True),
-                lambda s: (s, apply_all_raw(s)), states_t)
+            if cache_p:
+                def fit_branch(s):
+                    ns, pgs = fit_all(s, return_pg=True)
+                    return ns, _cache_all(ns), pgs
+                states_t, pcache_t, raw = jax.lax.cond(
+                    do_update, fit_branch,
+                    lambda s: (s, pcache_t, apply_all_raw(s, pcache_t)),
+                    states_t)
+            else:
+                states_t, raw = jax.lax.cond(
+                    do_update, lambda s: fit_all(s, return_pg=True),
+                    lambda s: (s, apply_all_raw(s)), states_t)
             pre = _finish(raw)
         elif update_preconditioner_first:  # biased update (psgd.py:615-618)
-            states_t = jax.lax.cond(do_update, fit_all, lambda s: s, states_t)
-            pre = apply_all(states_t)
+            if cache_p:
+                states_t, pcache_t = jax.lax.cond(
+                    do_update, fit_and_cache, lambda s: (s, pcache_t),
+                    states_t)
+                pre = _finish(apply_all_raw(states_t, pcache_t))
+            else:
+                states_t = jax.lax.cond(do_update, fit_all, lambda s: s,
+                                        states_t)
+                pre = apply_all(states_t)
         else:  # unbiased: precondition with the pre-update Q
-            pre = apply_all(states_t)
-            states_t = jax.lax.cond(do_update, fit_all, lambda s: s, states_t)
+            if cache_p:
+                pre = _finish(apply_all_raw(states_t, pcache_t))
+                states_t, pcache_t = jax.lax.cond(
+                    do_update, fit_and_cache, lambda s: (s, pcache_t),
+                    states_t)
+            else:
+                pre = apply_all(states_t)
+                states_t = jax.lax.cond(do_update, fit_all, lambda s: s,
+                                        states_t)
 
         if stack_sharding is not None and any(layer_sharded):
             mesh_, axis_ = stack_sharding
@@ -811,7 +911,7 @@ def scale_by_kron_whiten(
             states_t = tuple(states_t)
 
         new_state = PSGDState(count=state.count + 1, key=key, mu=mu,
-                              precond=states_t)
+                              precond=states_t, pcache=pcache_t)
         return jax.tree_util.tree_unflatten(treedef, pre), new_state
 
     return optax.GradientTransformation(init_fn, update_fn)
@@ -870,6 +970,7 @@ def scale_by_kron_newton(
     shared_layers: Any = None,
     stack_sharding: Optional[Tuple[Any, str]] = None,
     factor_sharding: Optional[Tuple[Any, Any]] = None,
+    cache_p: bool = False,
 ) -> optax.GradientTransformationExtraArgs:
     """Kron Newton-type preconditioner fed by Hessian-vector products.
 
@@ -887,9 +988,24 @@ def scale_by_kron_newton(
     (v, Hvp) pair instead of the gradient.  ``shared_layers`` pools a layer
     stack's curvature into ONE shared set of Kron factors plus a per-layer
     diagonal (see scale_by_kron_whiten).
+
+    ``cache_p=True`` caches P_i = Q_i^H Q_i after each fit so the apply on
+    non-fit steps is a single factor pass — see scale_by_kron_whiten; the
+    payoff regime here is ``preconditioner_update_probability`` well below 1
+    (Hvp steps are the expensive ones anyway).
     """
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
+    if cache_p:
+        if dq in kron_p._FIT_P:
+            raise ValueError(
+                "cache_p is a no-op for the fit-P geometries (QUAD4P/PRO4P): "
+                "their apply is already a single factor pass — drop cache_p")
+        if stack_sharding is not None or factor_sharding is not None:
+            raise ValueError(
+                "cache_p is not yet supported together with stack_sharding/"
+                "factor_sharding (the cached factors are not routed through "
+                "the sharded fit+apply paths)")
     _advisories(preconditioner_init_scale, True, 0.0, dq,
                 preconditioner_dtype)
 
@@ -914,8 +1030,11 @@ def scale_by_kron_newton(
         mu = (jax.tree_util.tree_map(
             lambda x: jnp.zeros(x.shape, momentum_dtype or x.dtype), params)
             if momentum > 0 else None)
+        pcache0 = (tuple(_cache_kron_leaf(st, p, f) for st, p, f
+                         in zip(kron_states, plans, flags))
+                   if cache_p else None)
         return PSGDState(count=jnp.zeros((), jnp.int32), key=jax.random.PRNGKey(seed),
-                         mu=mu, precond=tuple(kron_states))
+                         mu=mu, precond=tuple(kron_states), pcache=pcache0)
 
     def update_fn(updates, state, params=None, *, hvp_fn=None, vs=None,
                   hvs=None, **extra):
@@ -1000,8 +1119,18 @@ def scale_by_kron_newton(
                     norm_k=resolve_norm_k(norm_k, qdt)))
             return tuple(out)
 
-        states_t = jax.lax.cond(pred, fit_unrouted, lambda s: s,
-                                tuple(kron_states))
+        pcache_t = state.pcache
+        if cache_p:
+            def fit_and_cache(s):
+                ns = fit_unrouted(s)
+                return ns, tuple(_cache_kron_leaf(st, p, f) for st, p, f
+                                 in zip(ns, plans, flags))
+            states_t, pcache_t = jax.lax.cond(
+                pred, fit_and_cache, lambda s: (s, pcache_t),
+                tuple(kron_states))
+        else:
+            states_t = jax.lax.cond(pred, fit_unrouted, lambda s: s,
+                                    tuple(kron_states))
 
         if momentum > 0:
             mu = _ema_update(state.mu, updates, state.count, momentum)
@@ -1010,14 +1139,18 @@ def scale_by_kron_newton(
             mu, srcs = None, leaves
 
         pre = []
-        for st, plan, f, r, src, g in zip(states_t, plans, flags, routed,
-                                          srcs, leaves):
+        for i, (st, plan, f, r, src, g) in enumerate(
+                zip(states_t, plans, flags, routed, srcs, leaves)):
             if r:
                 pre.append(None)  # filled by the sharded pass below
                 continue
             qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
             view = src.reshape(((src.shape[0],) if f else ()) + plan.shape)
-            pg = _apply_kron_leaf(st, plan, view.astype(qdt), f)
+            if cache_p:
+                pg = _apply_kron_leaf_cached(pcache_t[i], plan,
+                                             view.astype(qdt), f)
+            else:
+                pg = _apply_kron_leaf(st, plan, view.astype(qdt), f)
             pre.append(pg.astype(g.dtype).reshape(g.shape))
 
         if stack_sharding is not None and any(layer_sharded):
@@ -1063,7 +1196,7 @@ def scale_by_kron_newton(
         pre = [p * scale for p in pre]
 
         new_state = PSGDState(count=state.count + 1, key=key, mu=mu,
-                              precond=states_t)
+                              precond=states_t, pcache=pcache_t)
         return jax.tree_util.tree_unflatten(treedef, pre), new_state
 
     return optax.GradientTransformationExtraArgs(init_fn, update_fn)

@@ -285,8 +285,13 @@ def psgd_state_specs(param_specs: Any, state: PSGDState,
     def one(st):
         if isinstance(st, PSGDState):
             mu_spec = None if st.mu is None else param_specs
+            # cached P_i factors (cache_p=True) are replicated like Q — the
+            # transform raises for the stack/factor-sharded routings, so no
+            # sharded cache layout exists yet
+            pc = (None if getattr(st, "pcache", None) is None else
+                  jax.tree_util.tree_map(lambda _: PS(), st.pcache))
             return PSGDState(count=PS(), key=PS(), mu=mu_spec,
-                             precond=precond_specs(st.precond))
+                             precond=precond_specs(st.precond), pcache=pc)
         return replicate(st)
 
     if isinstance(state, PSGDState):

@@ -295,6 +295,35 @@ def apply_all_factors(state: KronState, plan: KronPlan, g: jax.Array) -> jax.Arr
     return jnp.einsum(plan.subs_a, *state.q, g)
 
 
+def compute_p_factors(state: KronState, plan: KronPlan) -> Tuple[jax.Array, ...]:
+    """Per-factor P_i = Q_i^H Q_i (|q_i|^2 for diagonals): the cached form of
+    P = Q^H Q.  Between Q fits the preconditioner is constant, so caching
+    these after each fit lets the apply run as a SINGLE factor pass
+    (``precond_grad_cached``), removing the Q_i^H Q_i recomputation the
+    reference's exprP pays every step (psgd.py:402, 628-631): per dense
+    factor the apply drops from min(n_i^3, numel*n_i) + numel*n_i FLOPs to
+    the irreducible numel*n_i — 2x on square dense-dense leaves, a
+    (m+n)/n factor on dense(m) x diag(n) leaves.  Undefined for the fit-P
+    geometries (Q already is P; their apply is one pass anyway)."""
+    if plan.fits_p:
+        raise ValueError("compute_p_factors: the *4P geometries fit P "
+                         "directly — their apply is already a single pass")
+    out = []
+    for q in state.q:
+        if q.ndim == 2:
+            out.append(jnp.conj(q).T @ q)
+        else:  # diagonal (or scalar) factor
+            out.append(jnp.conj(q) * q)
+    return tuple(out)
+
+
+def precond_grad_cached(p_factors: Tuple[jax.Array, ...], plan: KronPlan,
+                        g: jax.Array) -> jax.Array:
+    """Pg from cached per-factor P_i (see ``compute_p_factors``): one
+    contraction per dim — the *4P apply cost for every geometry."""
+    return jnp.einsum(plan.subs_a, *p_factors, g)
+
+
 def _damped(g: jax.Array, key: jax.Array, damping: float) -> jax.Array:
     """g + (damping + eps(dtype)|g|) * v — the whitening/Newton damping that
     upper-bounds P as P < I/damping (psgd.py:334-336).  v is white
