@@ -286,7 +286,8 @@ def _stacked_specs(st: "kron_p.KronState", axis):
 
 def _fit_apply_kron_leaf_layer_sharded(
         st, plan, key, mesh, axis, do_update, fit_src, apply_src,
-        out_dtype, clip_amps=None, fit_first=True, share=False, **fit_kw):
+        out_dtype, clip_amps=None, fit_first=True, share=False,
+        pcache=None, **fit_kw):
     """Fit (gated on do_update) + apply (+ optional per-layer clip) for one
     stacked leaf, shard_mapped over the layer axis: each device runs the
     vmapped update for exactly n_layer/k layers — compute scales 1/k by
@@ -296,13 +297,20 @@ def _fit_apply_kron_leaf_layer_sharded(
 
     ``fit_src`` is the stacked gradient (whiten mode) or a ``(v, h)`` pair
     (Newton mode; reference KronNewton applies post-fit and clips by global
-    norm at tree level, psgd.py:945-971 — pass clip_amps=None there)."""
+    norm at tree level, psgd.py:945-971 — pass clip_amps=None there).
+
+    ``pcache`` (cache_p) is the leaf's stacked cached-P factors, sharded
+    like Q; returns ``(st_new, pcache_new, pg)`` then, refreshing the cache
+    inside the shard_map on fit steps and applying through it otherwise."""
     from jax.sharding import PartitionSpec as PS
     newton = isinstance(fit_src, tuple)
     srcs = fit_src if newton else (fit_src,)
     n_total = srcs[0].shape[0]
+    cached = pcache is not None
 
     def local(st_loc, *rest):
+        if cached:
+            pc_loc, *rest = rest
         *fit_loc, apply_loc, do_update = rest
         n_loc = fit_loc[0].shape[0]
         idx = jax.lax.axis_index(tuple(axis) if isinstance(axis, (tuple, list))
@@ -318,17 +326,39 @@ def _fit_apply_kron_leaf_layer_sharded(
             return kron_p.update_kron_whiten_stacked(
                 s, plan, shaped[0], keys, return_pg=return_pg, **fit_kw)
 
-        def apply(s):
-            return jax.vmap(lambda x, gg: kron_p.precond_grad(x, plan, gg))(
-                s, apply_loc.reshape((n_loc,) + plan.shape))
+        def refresh(s):
+            return jax.vmap(lambda x: kron_p.compute_p_factors(x, plan))(s)
 
+        def apply(s, pc=None):
+            shaped = apply_loc.reshape((n_loc,) + plan.shape)
+            if pc is not None:
+                return jax.vmap(
+                    lambda p, gg: kron_p.precond_grad_cached(p, plan, gg))(
+                        pc, shaped)
+            return jax.vmap(lambda x, gg: kron_p.precond_grad(x, plan, gg))(
+                s, shaped)
+
+        pc_new = None
         if share and not newton:
             # fit and apply sources coincide (validated by the transform):
             # reuse the fit's internal Pg on fit steps, apply with the
             # pre-update Q otherwise — one exprP chain either way.
-            st_new, pg = jax.lax.cond(
-                do_update, lambda s: fit(s, return_pg=True),
-                lambda s: (s, apply(s)), st_loc)
+            if cached:
+                def fit_branch(s):
+                    ns, pg = fit(s, return_pg=True)
+                    return ns, refresh(ns), pg
+                st_new, pc_new, pg = jax.lax.cond(
+                    do_update, fit_branch,
+                    lambda s: (s, pc_loc, apply(s, pc_loc)), st_loc)
+            else:
+                st_new, pg = jax.lax.cond(
+                    do_update, lambda s: fit(s, return_pg=True),
+                    lambda s: (s, apply(s)), st_loc)
+        elif cached:
+            st_new, pc_new = jax.lax.cond(
+                do_update, lambda s: (lambda ns: (ns, refresh(ns)))(fit(s)),
+                lambda s: (s, pc_loc), st_loc)
+            pg = apply(None, pc_new if fit_first else pc_loc)
         else:
             st_new = jax.lax.cond(do_update, fit, lambda s: s, st_loc)
             st_used = st_new if fit_first else st_loc
@@ -336,11 +366,19 @@ def _fit_apply_kron_leaf_layer_sharded(
         pg = pg.astype(out_dtype)
         if clip_amps is not None:
             pg = jax.vmap(lambda x: _amp_clip(x, *clip_amps))(pg)
-        return st_new, pg
+        return (st_new, pc_new, pg) if cached else (st_new, pg)
 
     from ..utils.compat import shard_map
     st_specs = _stacked_specs(st, axis)
     lead = lambda x: PS(axis, *([None] * (x.ndim - 1)))
+    pc_specs = (tuple(lead(f) for f in pcache) if cached else None)
+    if cached:
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(st_specs, pc_specs,
+                                 *[lead(s) for s in srcs],
+                                 lead(apply_src), PS()),
+                       out_specs=(st_specs, pc_specs, lead(apply_src)))
+        return fn(st, pcache, *srcs, apply_src, do_update)
     fn = shard_map(local, mesh=mesh,
                    in_specs=(st_specs, *[lead(s) for s in srcs],
                              lead(apply_src), PS()),
@@ -582,21 +620,29 @@ def scale_by_kron_whiten(
     Q_i^H Q_i recomputation, leaving only the irreducible P_i*G
     contractions: 2x fewer apply matmul FLOPs on square dense-dense leaves,
     a (m+n)/n factor on dense(m) x diag(n) leaves.  The payoff regime is
-    the production operating point (update probability annealed to
-    0.01-0.1, where the apply chain dominates optimizer cost): measured
-    optimizer step 0.94x (width 128) / 0.87x (width 512 — the saving grows
-    with width) at p = 0.03; at p = 1.0 it LOSES slightly (every step
-    refits and pays the extra Q_i^H Q_i refresh) —
-    results/cache_p_cpu.json.  Donate the optimizer state into the jitted
-    step (standard practice): on non-fit steps the unchanged cache rides
-    through a lax.cond, which costs a copy without donation.  Same trajectory to float rounding (the
+    FLOP-bound applies at the production operating point (update
+    probability annealed to 0.01-0.1, where the apply chain dominates
+    optimizer cost): measured optimizer step 0.94x (width 128) / 0.87x
+    (width 512 — the saving grows with width) at p = 0.03 in f32
+    (results/cache_p_cpu.json).  Know the limits: XLA's einsum already
+    contracts Q^H Q first where that is cheaper, so what caching removes is
+    the per-step n^3 recompute — on a BANDWIDTH-bound step (bf16 state on
+    one TPU chip at GPT-2 124M) that saving is offset by the extra cached
+    state's traffic and the full train step measured ~neutral-to-slightly-
+    slower (bench.py psgd_p0.1_cached_ratio 1.0122 vs plain 1.0031); at
+    p = 1.0 it always loses slightly (every fit pays the refresh).  Donate
+    the optimizer state into the jitted step (standard practice): on
+    non-fit steps the unchanged cache rides through a lax.cond, which
+    costs a copy without donation.  Same trajectory to float rounding (the
     cached product reassociates the einsum).  Costs one extra set of dense
     factors of state.  Composes with ``share_fit_apply`` (fit steps reuse
     the fit's Pg, non-fit steps apply through the cache) and
     ``pipelined_fit`` (the refresh reads only post-fit state, so it
-    overlaps too).  Not meaningful for the fit-P geometries (their apply is
-    already one pass) and not yet routed through
-    ``stack_sharding``/``factor_sharding`` leaves (raises).
+    overlaps too).  ``stack_sharding`` leaves refresh and apply the cache
+    inside the layer shard_map (cache sharded like Q; specs via
+    ``psgd_state_specs``).  Not meaningful for the fit-P geometries (their
+    apply is already one pass); not yet available with ``factor_sharding``
+    (raises — the dim-sharded path stores Q in a resharded compute layout).
     """
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
@@ -636,11 +682,11 @@ def scale_by_kron_whiten(
             raise ValueError(
                 "cache_p is a no-op for the fit-P geometries (QUAD4P/PRO4P): "
                 "their apply is already a single factor pass — drop cache_p")
-        if stack_sharding is not None or factor_sharding is not None:
+        if factor_sharding is not None:
             raise ValueError(
-                "cache_p is not yet supported together with stack_sharding/"
-                "factor_sharding (the cached factors are not routed through "
-                "the sharded fit+apply paths)")
+                "cache_p is not yet supported together with factor_sharding "
+                "(the dim-sharded path stores Q in its resharded compute "
+                "layout; no cached-P layout exists for it)")
     _advisories(preconditioner_init_scale, whiten_grad, momentum, dq,
                 preconditioner_dtype)
 
@@ -823,9 +869,16 @@ def scale_by_kron_whiten(
             # (psgd.py:628-631) — independent of what Q is fitted on.
             return _finish(apply_all_raw(states))
 
+        def _cache_unrouted(states):
+            # routed leaves refresh their cache INSIDE the sharded fit+apply
+            # paths (in the sharded layout); pass their entries through here
+            return tuple(
+                pcache_t[i] if routed[i] else _cache_kron_leaf(st, p, f)
+                for i, (st, p, f) in enumerate(zip(states, plans, flags)))
+
         def fit_and_cache(s):
             ns = fit_all(s)
-            return ns, _cache_all(ns)
+            return ns, _cache_unrouted(ns)
 
         states_t = tuple(kron_states)
         if share_fit_apply:
@@ -836,7 +889,7 @@ def scale_by_kron_whiten(
             if cache_p:
                 def fit_branch(s):
                     ns, pgs = fit_all(s, return_pg=True)
-                    return ns, _cache_all(ns), pgs
+                    return ns, _cache_unrouted(ns), pgs
                 states_t, pcache_t, raw = jax.lax.cond(
                     do_update, fit_branch,
                     lambda s: (s, pcache_t, apply_all_raw(s, pcache_t)),
@@ -870,23 +923,30 @@ def scale_by_kron_whiten(
         if stack_sharding is not None and any(layer_sharded):
             mesh_, axis_ = stack_sharding
             states_t = list(states_t)
+            pcache_t = list(pcache_t) if cache_p else pcache_t
             for i, (st, plan, ls, fsrc, asrc, g) in enumerate(
                     zip(states_t, plans, layer_sharded, fit_sources,
                         apply_sources, leaves)):
                 if not ls:
                     continue
                 qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
-                st_new, pg = _fit_apply_kron_leaf_layer_sharded(
+                res = _fit_apply_kron_leaf_layer_sharded(
                     st, plan, jax.random.fold_in(k_fit, i), mesh_, axis_,
                     do_update, fsrc.astype(qdt), asrc.astype(qdt),
                     g.dtype, clip_amps,
                     fit_first=update_preconditioner_first,
                     share=share_fit_apply,
+                    pcache=pcache_t[i] if cache_p else None,
                     lr=lr_q, beta_l=beta_l_t, damping=damping_t,
                     norm_k=resolve_norm_k(norm_k, qdt))
+                if cache_p:
+                    st_new, pcache_t[i], pg = res
+                else:
+                    st_new, pg = res
                 states_t[i] = st_new
                 pre[i] = pg.reshape(g.shape)
             states_t = tuple(states_t)
+            pcache_t = tuple(pcache_t) if cache_p else pcache_t
 
         if factor_sharding is not None and any(ds is not None
                                                for ds in dim_sharded):
@@ -1001,11 +1061,11 @@ def scale_by_kron_newton(
             raise ValueError(
                 "cache_p is a no-op for the fit-P geometries (QUAD4P/PRO4P): "
                 "their apply is already a single factor pass — drop cache_p")
-        if stack_sharding is not None or factor_sharding is not None:
+        if factor_sharding is not None:
             raise ValueError(
-                "cache_p is not yet supported together with stack_sharding/"
-                "factor_sharding (the cached factors are not routed through "
-                "the sharded fit+apply paths)")
+                "cache_p is not yet supported together with factor_sharding "
+                "(the dim-sharded path stores Q in its resharded compute "
+                "layout; no cached-P layout exists for it)")
     _advisories(preconditioner_init_scale, True, 0.0, dq,
                 preconditioner_dtype)
 
@@ -1123,8 +1183,10 @@ def scale_by_kron_newton(
         if cache_p:
             def fit_and_cache(s):
                 ns = fit_unrouted(s)
-                return ns, tuple(_cache_kron_leaf(st, p, f) for st, p, f
-                                 in zip(ns, plans, flags))
+                # routed leaves refresh inside the sharded path below
+                return ns, tuple(
+                    pcache_t[i] if routed[i] else _cache_kron_leaf(st, p, f)
+                    for i, (st, p, f) in enumerate(zip(ns, plans, flags)))
             states_t, pcache_t = jax.lax.cond(
                 pred, fit_and_cache, lambda s: (s, pcache_t),
                 tuple(kron_states))
@@ -1156,20 +1218,27 @@ def scale_by_kron_newton(
         if stack_sharding is not None and any(layer_sharded):
             mesh_, axis_ = stack_sharding
             states_t = list(states_t)
+            pcache_t = list(pcache_t) if cache_p else pcache_t
             for i, (st, plan, ls, v, h, src, g) in enumerate(
                     zip(states_t, plans, layer_sharded, v_leaves, h_leaves,
                         srcs, leaves)):
                 if not ls:
                     continue
                 qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
-                st_new, pg = _fit_apply_kron_leaf_layer_sharded(
+                res = _fit_apply_kron_leaf_layer_sharded(
                     st, plan, jax.random.fold_in(k_fit, i), mesh_, axis_,
                     pred, (v.astype(qdt), h.astype(qdt)), src.astype(qdt),
-                    g.dtype, lr=lr_q, beta_l=beta_l_t, damping=damping_t,
+                    g.dtype, pcache=pcache_t[i] if cache_p else None,
+                    lr=lr_q, beta_l=beta_l_t, damping=damping_t,
                     norm_k=resolve_norm_k(norm_k, qdt))
+                if cache_p:
+                    st_new, pcache_t[i], pg = res
+                else:
+                    st_new, pg = res
                 states_t[i] = st_new
                 pre[i] = pg.reshape(g.shape)
             states_t = tuple(states_t)
+            pcache_t = tuple(pcache_t) if cache_p else pcache_t
 
         if factor_sharding is not None and any(ds is not None
                                                for ds in dim_sharded):

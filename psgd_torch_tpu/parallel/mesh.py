@@ -282,14 +282,28 @@ def psgd_state_specs(param_specs: Any, state: PSGDState,
                 out.append(replicate(ks))
         return tuple(out)
 
+    def pcache_specs(pcache):
+        # cached P_i factors (cache_p=True) mirror the Q layout: stacked
+        # leaves shard their leading layer axis with stack_axis, everything
+        # else is replicated (the transform raises for factor_sharding)
+        if not isinstance(pcache, tuple):
+            return jax.tree_util.tree_map(lambda _: PS(), pcache)
+        out = []
+        for i, pc in enumerate(pcache):
+            f = flags[i] if flags is not None else False
+            sh = shared is not None and i < len(shared) and shared[i]
+            if f and not sh and stack_axis is not None:
+                out.append(tuple(PS(stack_axis, *([None] * (x.ndim - 1)))
+                                 for x in pc))
+            else:
+                out.append(jax.tree_util.tree_map(lambda _: PS(), pc))
+        return tuple(out)
+
     def one(st):
         if isinstance(st, PSGDState):
             mu_spec = None if st.mu is None else param_specs
-            # cached P_i factors (cache_p=True) are replicated like Q — the
-            # transform raises for the stack/factor-sharded routings, so no
-            # sharded cache layout exists yet
             pc = (None if getattr(st, "pcache", None) is None else
-                  jax.tree_util.tree_map(lambda _: PS(), st.pcache))
+                  pcache_specs(st.pcache))
             return PSGDState(count=PS(), key=PS(), mu=mu_spec,
                              precond=precond_specs(st.precond), pcache=pc)
         return replicate(st)

@@ -144,12 +144,95 @@ def test_raises_for_fit_p_geometries():
         kron_p.compute_p_factors(st4p, plan4p)
 
 
-def test_raises_with_sharded_routings():
+def test_raises_with_factor_sharding():
     mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("x",))
-    with pytest.raises(ValueError, match="stack_sharding"):
-        popt.scale_by_kron_whiten(cache_p=True, stack_sharding=(mesh, "x"))
+    with pytest.raises(ValueError, match="factor_sharding"):
+        popt.scale_by_kron_whiten(cache_p=True, factor_sharding=(mesh, {}))
     with pytest.raises(ValueError, match="factor_sharding"):
         popt.scale_by_kron_newton(cache_p=True, factor_sharding=(mesh, {}))
+
+
+@pytest.mark.parametrize("share", [False, True])
+def test_stack_sharded_cache_matches_replicated(share):
+    """cache_p through the layer-axis shard_map: the stack-sharded cached
+    run must match the replicated cached run (per-layer math and PRNG
+    streams identical by construction)."""
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("fsdp",))
+    params = {"stack": jax.random.normal(jax.random.PRNGKey(0), (4, 10, 6)),
+              "w": jax.random.normal(jax.random.PRNGKey(1), (10, 6))}
+    scanned = {"stack": True, "w": False}
+    kw = dict(momentum=0.9, whiten_grad=False,
+              update_preconditioner_first=False, share_fit_apply=share,
+              preconditioner_init_scale=1.0, cache_p=True,
+              preconditioner_update_probability=0.6,
+              scanned_layers=scanned, seed=3)
+    ref, st_ref = _run(popt.scale_by_kron_whiten(**kw), params, steps=6)
+    got, st_got = _run(popt.scale_by_kron_whiten(
+        stack_sharding=(mesh, "fsdp"), **kw), params, steps=6)
+    for a, b in zip(ref, got):
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-8, atol=1e-8)
+    # the cached factors themselves agree with the replicated run's
+    for x, y in zip(jax.tree.leaves(st_ref.pcache),
+                    jax.tree.leaves(st_got.pcache)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-8, atol=1e-8)
+
+
+def test_stack_sharded_cache_newton_matches_replicated():
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("fsdp",))
+    params = {"stack": jax.random.normal(jax.random.PRNGKey(0), (4, 10, 6))}
+    scanned = {"stack": True}
+
+    def loss(p):
+        return jnp.sum(p["stack"] ** 2) / 2
+
+    hvp = popt.make_hvp_fn(loss)
+    kw = dict(scanned_layers=scanned, preconditioner_init_scale=1.0,
+              preconditioner_update_probability=0.5, cache_p=True, seed=9)
+
+    def run(tx):
+        st = tx.init(params)
+        step = jax.jit(lambda g, s, p: tx.update(g, s, p, hvp_fn=hvp))
+        outs = []
+        for i in range(5):
+            u, st = step(jax.grad(loss)(params), st, params)
+            outs.append(u)
+        return outs
+
+    ref = run(popt.scale_by_kron_newton(**kw))
+    got = run(popt.scale_by_kron_newton(stack_sharding=(mesh, "fsdp"), **kw))
+    for a, b in zip(ref, got):
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-8, atol=1e-8)
+
+
+def test_stack_sharded_cache_state_specs_place_and_train():
+    """psgd_state_specs shards the cached factors' layer axis; a jitted
+    sharded step runs and the cache keeps its sharding."""
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+    from psgd_torch_tpu.parallel import psgd_state_specs
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("fsdp",))
+    params = {"stack": jax.random.normal(jax.random.PRNGKey(0), (4, 10, 6))}
+    scanned = {"stack": True}
+    tx = popt.scale_by_kron_whiten(
+        cache_p=True, scanned_layers=scanned, preconditioner_init_scale=1.0,
+        stack_sharding=(mesh, "fsdp"))
+    state = tx.init(params)
+    specs = psgd_state_specs({"stack": PS()}, state, scanned_layers=scanned,
+                             stack_axis="fsdp")
+    for x, s in zip(state.pcache[0], specs.pcache[0]):
+        assert s[0] == "fsdp" and len(s) == x.ndim
+    state = jax.device_put(state, jax.tree.map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, PS)))
+    g = jax.tree.map(jnp.ones_like, params)
+    u, state2 = jax.jit(tx.update)(g, state)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(u))
+    assert state2.pcache[0][-1].sharding.spec[0] == "fsdp"
 
 
 def test_state_specs_cover_the_cache():
