@@ -133,11 +133,16 @@ def _per_shard_core(
     norm_k: Optional[int],
     seed: int,
     share_fit_apply: bool = False,
+    cache_p: bool = False,
 ):
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
     if mode == "whiten" and not whiten_grad and momentum == 0.0:
         raise ValueError("Cannot whiten momentum with momentum == 0")
+    if cache_p and dq in kron_p._FIT_P:
+        raise ValueError(
+            "cache_p is a no-op for the fit-P geometries (QUAD4P/PRO4P): "
+            "their apply is already a single factor pass — drop cache_p")
     if share_fit_apply:
         # same preconditions as scale_by_kron_whiten(share_fit_apply=True)
         if mode != "whiten":
@@ -204,12 +209,33 @@ def _per_shard_core(
                 lambda x, s: jax.device_put(
                     x, jax.sharding.NamedSharding(mesh, s)), sharded, specs)
             states.append(sharded)
+        pcache0 = None
+        if cache_p:
+            pcache0 = []
+            for leaf, meta, sh in zip(leaves, metas, states):
+                p0 = kron_p.compute_p_factors(
+                    kron_p.init_kron_from_plan(meta.plan, (
+                        1.0 if preconditioner_init_scale is None
+                        else preconditioner_init_scale), _qdtype(leaf)),
+                    meta.plan)
+                n_lead = len(meta.shard_dims)
+                lead = tuple(_dim_shards(meta.axes[d], mesh)
+                             for d in meta.shard_dims)
+                pc = tuple(jnp.tile(x[(None,) * n_lead],
+                                    lead + (1,) * x.ndim) for x in p0)
+                pc_specs = tuple(
+                    PS(*(tuple(meta.axes[d] for d in meta.shard_dims)
+                         + (None,) * (x.ndim - n_lead))) for x in pc)
+                pcache0.append(tuple(
+                    jax.device_put(x, jax.sharding.NamedSharding(mesh, s))
+                    for x, s in zip(pc, pc_specs)))
+            pcache0 = tuple(pcache0)
         mu = (jax.tree_util.tree_map(
             lambda x: jnp.zeros(x.shape, momentum_dtype or _qdtype(x)),
             params) if momentum > 0 else None)
         return PSGDState(count=jnp.zeros((), jnp.int32),
                          key=jax.random.PRNGKey(seed), mu=mu,
-                         precond=tuple(states))
+                         precond=tuple(states), pcache=pcache0)
 
     def update_fn(updates, state, params=None, *, hvp_fn=None, vs=None,
                   hvs=None, **extra):
@@ -261,7 +287,7 @@ def _per_shard_core(
         else:
             v_leaves = h_leaves = [None] * len(leaves)
 
-        new_states, outs = [], []
+        new_states, new_pcache, outs = [], [], []
         for i, (g, meta, st) in enumerate(zip(leaves, metas, state.precond)):
             lead_axes = tuple(meta.axes[d] for d in meta.shard_dims)
             n_lead = len(lead_axes)
@@ -277,9 +303,13 @@ def _per_shard_core(
             apply_src = mu_leaves[i] if momentum > 0 else g
             v_leaf = v_leaves[i]
             h_leaf = h_leaves[i]
+            pc_leaf = state.pcache[i] if cache_p else None
+            pc_specs = (tuple(
+                PS(*(lead_axes + (None,) * (x.ndim - n_lead)))
+                for x in pc_leaf) if cache_p else None)
 
             def local_update(g_loc, fit_loc, apply_loc, st_loc, do_update,
-                             count, v_loc=None, h_loc=None,
+                             count, v_loc=None, h_loc=None, pc_loc=None,
                              meta=meta, plan=plan, k_leaf=k_leaf, qdt=qdt,
                              lead_axes=lead_axes, n_lead=n_lead,
                              all_axes=all_axes):
@@ -292,6 +322,8 @@ def _per_shard_core(
                 inner = kron_p.KronState(
                     q=tuple(f[(0,) * n_lead] for f in st_loc.q),
                     lips=tuple(l[(0,) * n_lead] for l in st_loc.lips))
+                pc_in = (tuple(x[(0,) * n_lead] for x in pc_loc)
+                         if cache_p else None)
 
                 if preconditioner_init_scale is None:
                     # on-the-fly init: per-leaf global scale, one pmean over
@@ -325,6 +357,12 @@ def _per_shard_core(
 
                     inner = jax.lax.cond(count == 0, rescale, lambda s: s,
                                          inner)
+                    if cache_p:
+                        # Q rescaled on step 0: the cache must follow
+                        pc_in = jax.lax.cond(
+                            count == 0,
+                            lambda: kron_p.compute_p_factors(inner, plan),
+                            lambda: pc_in)
 
                 def fit(s, return_pg=False):
                     if mode == "newton":
@@ -340,18 +378,50 @@ def _per_shard_core(
                         norm_k=resolve_norm_k(norm_k, qdt),
                         return_pg=return_pg)
 
+                apply_shaped = apply_loc.reshape(plan.shape).astype(qdt)
+
+                def apply_with(s, pc):
+                    if cache_p:
+                        return kron_p.precond_grad_cached(pc, plan,
+                                                          apply_shaped)
+                    return kron_p.precond_grad(s, plan, apply_shaped)
+
+                def refresh(s):
+                    return (kron_p.compute_p_factors(s, plan) if cache_p
+                            else pc_in)
+
                 if share_fit_apply and mode == "whiten":
                     # fit and apply sources coincide (validated above):
                     # reuse the fit's internal P(src + damping*v) as the
                     # update on fit steps — one exprP chain per step
-                    def no_fit(s):
-                        return s, kron_p.precond_grad(
-                            s, plan,
-                            apply_loc.reshape(plan.shape).astype(qdt))
-
-                    inner, pg = jax.lax.cond(
-                        do_update, lambda s: fit(s, return_pg=True), no_fit,
-                        inner)
+                    if cache_p:
+                        def fit_branch(s):
+                            ns, pg = fit(s, return_pg=True)
+                            return ns, refresh(ns), pg
+                        inner, pc_in, pg = jax.lax.cond(
+                            do_update, fit_branch,
+                            lambda s: (s, pc_in, apply_with(s, pc_in)),
+                            inner)
+                    else:
+                        def no_fit(s):
+                            return s, apply_with(s, None)
+                        inner, pg = jax.lax.cond(
+                            do_update, lambda s: fit(s, return_pg=True),
+                            no_fit, inner)
+                elif cache_p:
+                    def fit_and_refresh(s):
+                        ns = fit(s)
+                        return ns, refresh(ns)
+                    if update_preconditioner_first:  # biased (ddp:109-110)
+                        inner, pc_in = jax.lax.cond(
+                            do_update, fit_and_refresh,
+                            lambda s: (s, pc_in), inner)
+                        pg = apply_with(inner, pc_in)
+                    else:
+                        pg = apply_with(inner, pc_in)
+                        inner, pc_in = jax.lax.cond(
+                            do_update, fit_and_refresh,
+                            lambda s: (s, pc_in), inner)
                 else:
                     if update_preconditioner_first:  # biased (ddp:109-110)
                         inner = jax.lax.cond(do_update, fit, lambda s: s,
@@ -361,9 +431,7 @@ def _per_shard_core(
                         used = inner
                         inner = jax.lax.cond(do_update, fit, lambda s: s,
                                              inner)
-                    pg = kron_p.precond_grad(
-                        used, plan,
-                        apply_loc.reshape(plan.shape).astype(qdt))
+                    pg = kron_p.precond_grad(used, plan, apply_shaped)
                 pg = pg.astype(g_loc.dtype)
                 if mode == "whiten":
                     pg = _amp_clip(pg, *clip_amps_t)
@@ -371,6 +439,9 @@ def _per_shard_core(
                 st_out = ShardedKronLeaf(
                     q=tuple(f[(None,) * n_lead] for f in inner.q),
                     lips=tuple(l[(None,) * n_lead] for l in inner.lips))
+                if cache_p:
+                    pc_out = tuple(x[(None,) * n_lead] for x in pc_in)
+                    return pg, st_out, pc_out
                 return pg, st_out
 
             in_specs = (leaf_spec, leaf_spec, leaf_spec, state_specs,
@@ -379,10 +450,23 @@ def _per_shard_core(
             if mode == "newton":
                 in_specs = in_specs + (leaf_spec, leaf_spec)
                 args += [v_leaf, h_leaf]
+            out_specs = (leaf_spec, state_specs)
+            if cache_p:
+                if mode != "newton":
+                    # keep local_update's positional signature aligned
+                    in_specs = in_specs + (PS(), PS())
+                    args += [jnp.zeros(()), jnp.zeros(())]
+                in_specs = in_specs + (pc_specs,)
+                args += [pc_leaf]
+                out_specs = out_specs + (pc_specs,)
             fn = shard_map(local_update, mesh=mesh, in_specs=in_specs,
-                           out_specs=(leaf_spec, state_specs),
-                           check_rep=False)
-            pg, st_new = fn(*args)
+                           out_specs=out_specs, check_rep=False)
+            res = fn(*args)
+            if cache_p:
+                pg, st_new, pc_new = res
+                new_pcache.append(pc_new)
+            else:
+                pg, st_new = res
             outs.append(pg)
             new_states.append(st_new)
 
@@ -393,7 +477,8 @@ def _per_shard_core(
             outs = [p * scale for p in outs]
 
         new_state = PSGDState(count=state.count + 1, key=key, mu=mu,
-                              precond=tuple(new_states))
+                              precond=tuple(new_states),
+                              pcache=tuple(new_pcache) if cache_p else None)
         return jax.tree_util.tree_unflatten(treedef, outs), new_state
 
     if mode == "newton":
@@ -421,6 +506,7 @@ def scale_by_per_shard_kron_whiten(
     norm_k: Optional[int] = None,
     seed: int = 0,
     share_fit_apply: bool = False,
+    cache_p: bool = False,
 ) -> optax.GradientTransformation:
     """Per-shard gradient/momentum whitening (zero optimizer collectives).
 
@@ -430,6 +516,9 @@ def scale_by_per_shard_kron_whiten(
     setting it explicitly (ddp:36-39), and so does this one.
     ``share_fit_apply``: see scale_by_kron_whiten — reuse the fit's internal
     Pg as the update on fit steps (same preconditions).
+    ``cache_p``: see scale_by_kron_whiten — cache P_i = Q_i^H Q_i per local
+    shard at each fit; non-fit applies are a single factor pass (the cache
+    is shard-local state, zero extra collectives).
     """
     return _per_shard_core(
         mesh, param_specs, "whiten", preconditioner_max_size,
@@ -437,7 +526,8 @@ def scale_by_per_shard_kron_whiten(
         lr_preconditioner, betaL, damping, momentum, grad_clip_max_amps,
         float("inf"), preconditioner_update_probability,
         update_preconditioner_first, whiten_grad, dq, preconditioner_dtype,
-        momentum_dtype, norm_k, seed, share_fit_apply=share_fit_apply)
+        momentum_dtype, norm_k, seed, share_fit_apply=share_fit_apply,
+        cache_p=cache_p)
 
 
 def scale_by_per_shard_kron_newton(
@@ -457,17 +547,20 @@ def scale_by_per_shard_kron_newton(
     preconditioner_dtype: Any = None,
     norm_k: Optional[int] = None,
     seed: int = 0,
+    cache_p: bool = False,
 ) -> optax.GradientTransformationExtraArgs:
     """Per-shard Newton-type preconditioning (beyond the reference wrapper,
     which only ships whitening): each local shard gets an independent Kron
     preconditioner fitted on local (v, Hv) shard views; the Hvp itself is
-    evaluated globally through ``hvp_fn`` (jax.jvp over the sharded loss)."""
+    evaluated globally through ``hvp_fn`` (jax.jvp over the sharded loss).
+    ``cache_p``: see scale_by_kron_whiten (shard-local cached P_i)."""
     return _per_shard_core(
         mesh, param_specs, "newton", preconditioner_max_size,
         preconditioner_max_skew, preconditioner_init_scale,
         lr_preconditioner, betaL, damping, momentum, (2.0, 10.0),
         grad_clip_max_norm, preconditioner_update_probability,
-        True, True, dq, preconditioner_dtype, momentum_dtype, norm_k, seed)
+        True, True, dq, preconditioner_dtype, momentum_dtype, norm_k, seed,
+        cache_p=cache_p)
 
 
 def per_shard_kron_whiten(mesh: Mesh, param_specs: Any,

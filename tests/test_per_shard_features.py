@@ -295,3 +295,47 @@ def test_share_fit_apply_per_shard():
         scale_by_per_shard_kron_whiten(
             mesh, specs, share_fit_apply=True, momentum=0.9,
             whiten_grad=True, update_preconditioner_first=False)
+
+
+def test_cache_p_per_shard():
+    """cache_p on the per-shard transform: the cached run must match the
+    uncached one to float rounding (the cache only reassociates the apply
+    einsum), across orderings, the share_fit_apply composition, on-the-fly
+    init (step-0 rescale refresh), and the Newton mode."""
+    mesh = make_mesh(4, axis_names=("fsdp", "tp"))
+    specs = {"w": PS("fsdp", "tp")}
+    loss_fn, params = _quadratic(mesh, specs)
+    kw = dict(momentum=0.9, whiten_grad=False, seed=3,
+              preconditioner_update_probability=0.6)
+
+    def mk(**extra):
+        return optax.chain(
+            scale_by_per_shard_kron_whiten(mesh, specs, **kw, **extra),
+            optax.scale_by_learning_rate(0.05))
+
+    st_c = None
+    for extra in (dict(preconditioner_init_scale=1.0),
+                  dict(preconditioner_init_scale=1.0,
+                       update_preconditioner_first=False),
+                  dict(preconditioner_init_scale=1.0,
+                       update_preconditioner_first=False,
+                       share_fit_apply=True),
+                  dict(preconditioner_init_scale=None)):
+        p_ref, _ = _run(mk(**extra), loss_fn, params, 8)
+        p_c, st_c = _run(mk(cache_p=True, **extra), loss_fn, params, 8)
+        np.testing.assert_allclose(np.asarray(p_ref["w"]),
+                                   np.asarray(p_c["w"]),
+                                   rtol=1e-9, atol=1e-10)
+    assert st_c[0].pcache is not None
+
+    p_ref, _ = _run(per_shard_kron_newton(mesh, specs, learning_rate=0.05),
+                    loss_fn, params, 6, newton=True)
+    p_c, _ = _run(per_shard_kron_newton(mesh, specs, learning_rate=0.05,
+                                        cache_p=True),
+                  loss_fn, params, 6, newton=True)
+    np.testing.assert_allclose(np.asarray(p_ref["w"]), np.asarray(p_c["w"]),
+                               rtol=1e-9, atol=1e-10)
+
+    with pytest.raises(ValueError, match="fit-P"):
+        scale_by_per_shard_kron_whiten(mesh, specs, dq="QUAD4P",
+                                       cache_p=True)
