@@ -437,13 +437,18 @@ def _dim_sharded_state_specs(plan, eff_axes):
 def _fit_apply_kron_leaf_dim_sharded(
         st, plan, key, mesh, dim_axes, do_update, fit_src, apply_src,
         out_dtype, clip_amps, fit_first=True, mode="whiten", share=False,
-        **fit_kw):
+        pcache=None, **fit_kw):
     """Fit + apply for a dim-sharded non-stacked leaf under shard_map: one
     GLOBAL preconditioner, local contractions + psum, with mesh axes on
     dense dims re-sharded onto a diag dim by all_to_all (see
     kron.update_kron_whiten_dim_sharded).  ``mode="newton"`` fits from a
     (v, h) pair passed as ``fit_src`` and skips the amp clip (the Newton
-    transform clips by global norm at tree level)."""
+    transform clips by global norm at tree level).
+
+    ``pcache`` (cache_p) is the leaf's cached-P factors stored in the same
+    compute layout as the Q state (dense replicated, diag sharded by the
+    reshard plan's effective axes); returns ``(st_new, pcache_new, pg)``
+    then — the refresh is factor-local, so caching adds zero collectives."""
     from jax.sharding import PartitionSpec as PS
     from ..utils.compat import shard_map
 
@@ -454,29 +459,54 @@ def _fit_apply_kron_leaf_dim_sharded(
     leaf_spec = PS(*[axes if axes else None for axes in dim_axes])
     state_specs = _dim_sharded_state_specs(plan, eff_axes)
     all_axes = tuple(ax for axes in dim_axes for ax in axes)
+    cached = pcache is not None
+    # cached-P factors mirror the Q layout: P_i has q_i's rank
+    pc_specs = tuple(state_specs.q) if cached else None
 
     if mode == "newton":
-        def local(st_loc, v_loc, h_loc, apply_loc, do_update):
-            st_new, pg = kron_p.update_kron_newton_dim_sharded(
+        def local(st_loc, *rest):
+            if cached:
+                pc_loc, *rest = rest
+            v_loc, h_loc, apply_loc, do_update = rest
+            res = kron_p.update_kron_newton_dim_sharded(
                 st_loc, plan, v_loc, h_loc, key, dim_axes, rplan, apply_loc,
-                do_update, fit_first=fit_first, **fit_kw)
-            return st_new, pg.astype(out_dtype)
+                do_update, fit_first=fit_first,
+                pcache=pc_loc if cached else None, **fit_kw)
+            return res[:-1] + (res[-1].astype(out_dtype),)
 
+        v_src, h_src = fit_src
+        if cached:
+            fn = shard_map(local, mesh=mesh,
+                           in_specs=(state_specs, pc_specs, leaf_spec,
+                                     leaf_spec, leaf_spec, PS()),
+                           out_specs=(state_specs, pc_specs, leaf_spec),
+                           check_rep=False)
+            return fn(st, pcache, v_src, h_src, apply_src, do_update)
         fn = shard_map(local, mesh=mesh,
                        in_specs=(state_specs, leaf_spec, leaf_spec,
                                  leaf_spec, PS()),
                        out_specs=(state_specs, leaf_spec), check_rep=False)
-        v_src, h_src = fit_src
         return fn(st, v_src, h_src, apply_src, do_update)
 
-    def local(st_loc, fit_loc, apply_loc, do_update):
-        st_new, pg = kron_p.update_kron_whiten_dim_sharded(
+    def local(st_loc, *rest):
+        if cached:
+            pc_loc, *rest = rest
+        fit_loc, apply_loc, do_update = rest
+        res = kron_p.update_kron_whiten_dim_sharded(
             st_loc, plan, fit_loc, key, dim_axes, rplan, apply_loc,
-            do_update, fit_first=fit_first, share=share, **fit_kw)
-        pg = _sharded_amp_clip(pg.astype(out_dtype), clip_amps, all_axes,
-                               plan.numel)
-        return st_new, pg
+            do_update, fit_first=fit_first, share=share,
+            pcache=pc_loc if cached else None, **fit_kw)
+        pg = _sharded_amp_clip(res[-1].astype(out_dtype), clip_amps,
+                               all_axes, plan.numel)
+        return res[:-1] + (pg,)
 
+    if cached:
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(state_specs, pc_specs, leaf_spec,
+                                 leaf_spec, PS()),
+                       out_specs=(state_specs, pc_specs, leaf_spec),
+                       check_rep=False)
+        return fn(st, pcache, fit_src, apply_src, do_update)
     fn = shard_map(local, mesh=mesh,
                    in_specs=(state_specs, leaf_spec, leaf_spec, PS()),
                    out_specs=(state_specs, leaf_spec), check_rep=False)
@@ -640,9 +670,10 @@ def scale_by_kron_whiten(
     ``pipelined_fit`` (the refresh reads only post-fit state, so it
     overlaps too).  ``stack_sharding`` leaves refresh and apply the cache
     inside the layer shard_map (cache sharded like Q; specs via
-    ``psgd_state_specs``).  Not meaningful for the fit-P geometries (their
-    apply is already one pass); not yet available with ``factor_sharding``
-    (raises — the dim-sharded path stores Q in a resharded compute layout).
+    ``psgd_state_specs``), and ``factor_sharding`` leaves store the cache
+    in the same compute layout as their Q (dense P replicated, diag P
+    sharded — the refresh is factor-local, zero extra collectives).  Not
+    meaningful for the fit-P geometries (their apply is already one pass).
     """
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
@@ -677,16 +708,10 @@ def scale_by_kron_whiten(
         if dq == kron_p.DQ_EQ:
             raise ValueError("share_fit_apply is unsupported for dq='EQ' "
                              "(the EQ fit never forms the full Pg product)")
-    if cache_p:
-        if dq in kron_p._FIT_P:
-            raise ValueError(
-                "cache_p is a no-op for the fit-P geometries (QUAD4P/PRO4P): "
-                "their apply is already a single factor pass — drop cache_p")
-        if factor_sharding is not None:
-            raise ValueError(
-                "cache_p is not yet supported together with factor_sharding "
-                "(the dim-sharded path stores Q in its resharded compute "
-                "layout; no cached-P layout exists for it)")
+    if cache_p and dq in kron_p._FIT_P:
+        raise ValueError(
+            "cache_p is a no-op for the fit-P geometries (QUAD4P/PRO4P): "
+            "their apply is already a single factor pass — drop cache_p")
     _advisories(preconditioner_init_scale, whiten_grad, momentum, dq,
                 preconditioner_dtype)
 
@@ -952,23 +977,30 @@ def scale_by_kron_whiten(
                                                for ds in dim_sharded):
             fs_mesh, _ = factor_sharding
             states_t = list(states_t)
+            pcache_t = list(pcache_t) if cache_p else pcache_t
             for i, (st, plan, ds, fsrc, asrc, g) in enumerate(
                     zip(states_t, plans, dim_sharded, fit_sources,
                         apply_sources, leaves)):
                 if ds is None:
                     continue
                 qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
-                st_new, pg = _fit_apply_kron_leaf_dim_sharded(
+                res = _fit_apply_kron_leaf_dim_sharded(
                     st, plan, jax.random.fold_in(k_fit, i), fs_mesh, ds,
                     do_update, fsrc.astype(qdt), asrc.astype(qdt),
                     g.dtype, clip_amps,
                     fit_first=update_preconditioner_first,
                     share=share_fit_apply,
+                    pcache=pcache_t[i] if cache_p else None,
                     lr=lr_q, beta_l=beta_l_t, damping=damping_t,
                     norm_k=resolve_norm_k(norm_k, qdt))
+                if cache_p:
+                    st_new, pcache_t[i], pg = res
+                else:
+                    st_new, pg = res
                 states_t[i] = st_new
                 pre[i] = pg.reshape(g.shape)
             states_t = tuple(states_t)
+            pcache_t = tuple(pcache_t) if cache_p else pcache_t
 
         new_state = PSGDState(count=state.count + 1, key=key, mu=mu,
                               precond=states_t, pcache=pcache_t)
@@ -1056,16 +1088,10 @@ def scale_by_kron_newton(
     """
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
-    if cache_p:
-        if dq in kron_p._FIT_P:
-            raise ValueError(
-                "cache_p is a no-op for the fit-P geometries (QUAD4P/PRO4P): "
-                "their apply is already a single factor pass — drop cache_p")
-        if factor_sharding is not None:
-            raise ValueError(
-                "cache_p is not yet supported together with factor_sharding "
-                "(the dim-sharded path stores Q in its resharded compute "
-                "layout; no cached-P layout exists for it)")
+    if cache_p and dq in kron_p._FIT_P:
+        raise ValueError(
+            "cache_p is a no-op for the fit-P geometries (QUAD4P/PRO4P): "
+            "their apply is already a single factor pass — drop cache_p")
     _advisories(preconditioner_init_scale, True, 0.0, dq,
                 preconditioner_dtype)
 
@@ -1244,21 +1270,28 @@ def scale_by_kron_newton(
                                                for ds in dim_sharded):
             fs_mesh, _ = factor_sharding
             states_t = list(states_t)
+            pcache_t = list(pcache_t) if cache_p else pcache_t
             for i, (st, plan, ds, v, h, src, g) in enumerate(
                     zip(states_t, plans, dim_sharded, v_leaves, h_leaves,
                         srcs, leaves)):
                 if ds is None:
                     continue
                 qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
-                st_new, pg = _fit_apply_kron_leaf_dim_sharded(
+                res = _fit_apply_kron_leaf_dim_sharded(
                     st, plan, jax.random.fold_in(k_fit, i), fs_mesh, ds,
                     pred, (v.astype(qdt), h.astype(qdt)), src.astype(qdt),
                     g.dtype, None, mode="newton",
+                    pcache=pcache_t[i] if cache_p else None,
                     lr=lr_q, beta_l=beta_l_t, damping=damping_t,
                     norm_k=resolve_norm_k(norm_k, qdt))
+                if cache_p:
+                    st_new, pcache_t[i], pg = res
+                else:
+                    st_new, pg = res
                 states_t[i] = st_new
                 pre[i] = pg.reshape(g.shape)
             states_t = tuple(states_t)
+            pcache_t = tuple(pcache_t) if cache_p else pcache_t
 
         scale = _global_norm_scale(pre, _sched(grad_clip_max_norm,
                                                state.count))

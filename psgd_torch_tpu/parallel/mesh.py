@@ -284,8 +284,9 @@ def psgd_state_specs(param_specs: Any, state: PSGDState,
 
     def pcache_specs(pcache):
         # cached P_i factors (cache_p=True) mirror the Q layout: stacked
-        # leaves shard their leading layer axis with stack_axis, everything
-        # else is replicated (the transform raises for factor_sharding)
+        # leaves shard their leading layer axis with stack_axis; dim-sharded
+        # leaves (factor_sharding) shard diag P like diag Q in the compute
+        # layout; everything else is replicated
         if not isinstance(pcache, tuple):
             return jax.tree_util.tree_map(lambda _: PS(), pcache)
         out = []
@@ -295,6 +296,13 @@ def psgd_state_specs(param_specs: Any, state: PSGDState,
             if f and not sh and stack_axis is not None:
                 out.append(tuple(PS(stack_axis, *([None] * (x.ndim - 1)))
                                  for x in pc))
+            elif (not f and not sh and shape_leaves is not None
+                  and isinstance(pc, tuple) and i < len(spec_leaves)):
+                # reuse the Q-layout computation: P_i has q_i's rank, so the
+                # per-factor specs coincide with the KronState q specs
+                fake = KronState(q=pc, lips=tuple(PS() for _ in pc))
+                out.append(dim_sharded_kron(fake, shape_leaves[i],
+                                            spec_leaves[i]).q)
             else:
                 out.append(jax.tree_util.tree_map(lambda _: PS(), pc))
         return tuple(out)

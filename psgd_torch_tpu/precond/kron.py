@@ -999,7 +999,8 @@ def update_kron_whiten_dim_sharded(
         state: KronState, plan: KronPlan, g: jax.Array, key: jax.Array,
         dim_axes, reshard_plan, apply_src: jax.Array, do_update,
         lr: float = 0.1, beta_l: float = 0.9, damping: float = 1e-9,
-        norm_k: int = 32, fit_first: bool = True, share: bool = False):
+        norm_k: int = 32, fit_first: bool = True, share: bool = False,
+        pcache=None):
     """Whiten-fit + apply for a dim-sharded leaf, executed INSIDE shard_map.
 
     Args:
@@ -1015,30 +1016,39 @@ def update_kron_whiten_dim_sharded(
       share: reuse the fit's internal P(g + damping*v) as the apply on fit
         steps (requires g and apply_src to be the same source and
         fit_first=False; see scale_by_kron_whiten(share_fit_apply=True)).
-    Returns (new_state_local, preconditioned_apply_src_local).
+      pcache: optional cached per-factor P_i in the COMPUTE layout (dense
+        replicated, diag local like state.q) — see compute_p_factors.
+        When given, non-fit applies run through it (one factor pass, zero
+        extra collectives: the refresh after a fit is factor-local) and the
+        return gains the refreshed cache.
+    Returns (new_state_local, preconditioned_apply_src_local), with the
+    refreshed pcache inserted second when ``pcache`` is given.
     """
     return _update_kron_dim_sharded(
         state, plan, g, key, dim_axes, reshard_plan, apply_src, do_update,
-        "whiten", lr, beta_l, damping, norm_k, fit_first, share)
+        "whiten", lr, beta_l, damping, norm_k, fit_first, share, pcache)
 
 
 def update_kron_newton_dim_sharded(
         state: KronState, plan: KronPlan, v: jax.Array, h: jax.Array,
         key: jax.Array, dim_axes, reshard_plan, apply_src: jax.Array,
         do_update, lr: float = 0.1, beta_l: float = 0.9,
-        damping: float = 1e-9, norm_k: int = 32, fit_first: bool = True):
+        damping: float = 1e-9, norm_k: int = 32, fit_first: bool = True,
+        pcache=None):
     """Newton-mode dim-sharded fit + apply: same collective structure as the
     whiten variant, with term2 the (v v^H) contraction psum'd like term1
-    (reference update_precond_kron_newton_q0p5eq1p5, psgd.py:594-616)."""
+    (reference update_precond_kron_newton_q0p5eq1p5, psgd.py:594-616).
+    ``pcache``: see update_kron_whiten_dim_sharded."""
     return _update_kron_dim_sharded(
         state, plan, (v, h), key, dim_axes, reshard_plan, apply_src,
-        do_update, "newton", lr, beta_l, damping, norm_k, fit_first)
+        do_update, "newton", lr, beta_l, damping, norm_k, fit_first,
+        pcache=pcache)
 
 
 def _update_kron_dim_sharded(
         state, plan, fit_src, key, dim_axes, reshard_plan, apply_src,
         do_update, mode, lr, beta_l, damping, norm_k, fit_first,
-        share: bool = False):
+        share: bool = False, pcache=None):
     if plan.dq not in DIM_SHARDABLE_DQS:
         raise NotImplementedError(
             "dim-sharded update supports Q0.5EQ1.5, QUAD and QEQ")
@@ -1183,17 +1193,41 @@ def _update_kron_dim_sharded(
                                  tuple(new_q))
         return KronState(q=tuple(new_q), lips=tuple(new_l)), pg
 
-    def _apply(st):
+    def _apply(st, pc=None):
+        if pc is not None:
+            # cached P_i: one factor pass; the cache lives in the compute
+            # layout (dense replicated, diag local) so this is collective-
+            # free just like the Q-based apply
+            return jnp.einsum(plan.subs_a, *pc, apply_src)
         return jnp.einsum(plan.subs_p, *[jnp.conj(f) for f in st.q],
                           *st.q, apply_src)
 
+    cached = pcache is not None
+    pc_new = None
     if share and mode == "whiten":
         # fit and apply sources coincide (validated by the transform, which
         # also forces fit_first=False): the fit's P(src + damping*v) — in
         # the compute layout, pre-update Q — IS the apply product, so fit
         # steps skip the separate exprP chain.
-        st_new, pg_out = jax.lax.cond(
-            do_update, fit_core, lambda s: (s, _apply(s)), state)
+        if cached:
+            def fit_branch(s):
+                ns, pg = fit_core(s)
+                return ns, compute_p_factors(ns, plan), pg
+            st_new, pc_new, pg_out = jax.lax.cond(
+                do_update, fit_branch,
+                lambda s: (s, pcache, _apply(s, pcache)), state)
+        else:
+            st_new, pg_out = jax.lax.cond(
+                do_update, fit_core, lambda s: (s, _apply(s)), state)
+    elif cached:
+        # refresh the cache (factor-local: dense q^H q, diag |q|^2) inside
+        # the gated fit; apply through the cache either way
+        st_new, pc_new = jax.lax.cond(
+            do_update,
+            lambda s: (lambda ns: (ns, compute_p_factors(ns, plan)))(
+                fit_core(s)[0]),
+            lambda s: (s, pcache), state)
+        pg_out = _apply(None, pc_new if fit_first else pcache)
     else:
         # drop the fit's internal pg inside the branch (DCE'd by XLA)
         st_new = jax.lax.cond(do_update, lambda s: fit_core(s)[0],
@@ -1213,7 +1247,7 @@ def _update_kron_dim_sharded(
         loc = plan.shape[d] // k
         pg_out = jax.lax.dynamic_slice_in_dim(
             pg_out, _linear_axis_index(dim_axes[d]) * loc, loc, axis=d)
-    return st_new, pg_out
+    return (st_new, pc_new, pg_out) if cached else (st_new, pg_out)
 
 
 def update_kron_newton_stacked(state: KronState, plan: KronPlan, v: jax.Array,

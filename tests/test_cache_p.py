@@ -144,12 +144,104 @@ def test_raises_for_fit_p_geometries():
         kron_p.compute_p_factors(st4p, plan4p)
 
 
-def test_raises_with_factor_sharding():
-    mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("x",))
-    with pytest.raises(ValueError, match="factor_sharding"):
-        popt.scale_by_kron_whiten(cache_p=True, factor_sharding=(mesh, {}))
-    with pytest.raises(ValueError, match="factor_sharding"):
-        popt.scale_by_kron_newton(cache_p=True, factor_sharding=(mesh, {}))
+@pytest.mark.parametrize("mode_kw", [
+    dict(),
+    dict(update_preconditioner_first=False),
+    dict(momentum=0.9, whiten_grad=False, update_preconditioner_first=False,
+         share_fit_apply=True),
+], ids=["biased", "unbiased", "share_fit_apply"])
+def test_dim_sharded_cache_matches_uncached(mode_kw):
+    """cache_p through the dim-sharded (factor_sharding) path: the cached
+    run must match the uncached dim-sharded run to float rounding (same
+    collectives and PRNG streams; the cache only reassociates the apply
+    einsum), and the cache's sharded state placement must follow
+    psgd_state_specs (diag P sharded like diag Q, dense P replicated)."""
+    from psgd_torch_tpu.parallel import (make_mesh, named_shardings,
+                                         psgd_state_specs)
+    from jax.sharding import PartitionSpec as PS
+
+    mesh = make_mesh(8, axis_names=("fsdp", "tp"))
+    p = {"emb": jnp.zeros((64, 16))}
+    specs = {"emb": PS("fsdp", "tp")}
+    kw = dict(preconditioner_init_scale=1.0, seed=7,
+              preconditioner_update_probability=0.6,
+              factor_sharding=(mesh, specs))
+    kw.update(mode_kw)
+
+    def run(cache):
+        tx = popt.scale_by_kron_whiten(cache_p=cache, **kw)
+        st = tx.init(p)
+        st = jax.device_put(st, named_shardings(
+            mesh, psgd_state_specs(specs, st, factor_sharding_params=p,
+                                   mesh=mesh)))
+        outs = []
+        with mesh:
+            step = jax.jit(tx.update)
+            for i in range(6):
+                g = jax.device_put(
+                    {"emb": jax.random.normal(jax.random.key(i), (64, 16))},
+                    named_shardings(mesh, specs))
+                u, st = step(g, st)
+                outs.append(u)
+        return outs, st
+
+    ref, _ = run(False)
+    got, st = run(True)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a["emb"]),
+                                   np.asarray(b["emb"]),
+                                   rtol=1e-9, atol=1e-9)
+    # cache present, correctly sharded (vocab-diag P sharded, dense P
+    # replicated in the compute layout), and equal to Q_i^H Q_i
+    pc = st.pcache[0]
+    q = st.precond[0].q
+    assert any("fsdp" in str(s.spec) for x in pc
+               for s in [x.sharding]), "diag P not sharded"
+    for x, f in zip(pc, q):
+        want = np.conj(np.asarray(f)).T @ np.asarray(f) if f.ndim == 2 \
+            else np.abs(np.asarray(f)) ** 2
+        np.testing.assert_allclose(np.asarray(x), want, rtol=1e-12,
+                                   atol=1e-12)
+
+
+def test_dim_sharded_cache_newton_matches_uncached():
+    """Newton-mode factor_sharding + cache_p parity."""
+    from psgd_torch_tpu.parallel import (make_mesh, named_shardings,
+                                         psgd_state_specs)
+    from jax.sharding import PartitionSpec as PS
+
+    mesh = make_mesh(8, axis_names=("fsdp",))
+    p = {"emb": jax.random.normal(jax.random.key(0), (64, 16))}
+    specs = {"emb": PS("fsdp", None)}
+
+    def loss(t):
+        return jnp.sum(t["emb"] ** 2) / 2 + jnp.sum(t["emb"] ** 4) / 12
+
+    hvp = popt.make_hvp_fn(loss)
+    kw = dict(preconditioner_init_scale=1.0, seed=3,
+              preconditioner_update_probability=0.5,
+              factor_sharding=(mesh, specs))
+
+    def run(cache):
+        tx = popt.scale_by_kron_newton(cache_p=cache, **kw)
+        st = tx.init(p)
+        st = jax.device_put(st, named_shardings(
+            mesh, psgd_state_specs(specs, st, factor_sharding_params=p,
+                                   mesh=mesh)))
+        outs = []
+        with mesh:
+            step = jax.jit(lambda g, s, pp: tx.update(g, s, pp, hvp_fn=hvp))
+            for i in range(5):
+                u, st = step(jax.grad(loss)(p), st, p)
+                outs.append(u)
+        return outs
+
+    ref = run(False)
+    got = run(True)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a["emb"]),
+                                   np.asarray(b["emb"]),
+                                   rtol=1e-9, atol=1e-9)
 
 
 @pytest.mark.parametrize("share", [False, True])
