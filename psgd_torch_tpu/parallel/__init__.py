@@ -5,6 +5,7 @@ from .mesh import (
     dense_state_specs,
     drift_check,
     gpt2_partition_specs,
+    llama_partition_specs,
     lra_state_specs,
     make_mesh,
     make_multihost_mesh,

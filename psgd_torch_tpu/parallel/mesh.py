@@ -166,6 +166,36 @@ def gpt2_partition_specs(fsdp_axis: str = "fsdp", tp_axis: str = "tp") -> dict:
     }
 
 
+def llama_partition_specs(params: Any = None, fsdp_axis: str = "fsdp",
+                          tp_axis: str = "tp") -> dict:
+    """Canonical parameter shardings for models.llama (stacked-blocks tree).
+
+    Column-parallel wqkv / w_gu (tp on the fused output dim), row-parallel
+    wo / w_down (tp on the input dim), fsdp on the opposite dim; RMSNorm
+    scales replicated; embeddings vocab x embd like gpt2.  These are GSPMD
+    layout hints (weight-matrix partitioning for memory + matmul sharding;
+    XLA inserts the activation collectives) — the fused-qkv tp chunks are
+    not head-aligned Megatron splits, which GSPMD does not require.  Pass
+    ``params`` (or None) to include the untied ``lm_head`` entry when
+    present.
+    """
+    specs = {
+        "wte": PS(tp_axis, fsdp_axis),
+        "blocks": {
+            "rms1_scale": PS(None, None),
+            "wqkv": PS(None, fsdp_axis, tp_axis),
+            "wo": PS(None, tp_axis, fsdp_axis),
+            "rms2_scale": PS(None, None),
+            "w_gu": PS(None, fsdp_axis, tp_axis),
+            "w_down": PS(None, tp_axis, fsdp_axis),
+        },
+        "rmsf_scale": PS(None),
+    }
+    if params is not None and "lm_head" in params:
+        specs["lm_head"] = PS(fsdp_axis, tp_axis)
+    return specs
+
+
 def named_shardings(mesh: Mesh, specs: Any) -> Any:
     """Map a pytree of PartitionSpecs to NamedShardings on ``mesh``."""
     return jax.tree_util.tree_map(
