@@ -189,8 +189,13 @@ def main(medium: bool = False):
     # cache_p: P_i = Q_i^H Q_i cached after each fit — the apply on the ~90%
     # non-fit steps at p=0.1 is a single factor pass (no Q_i^H Q_i recompute)
     opt01c = psgd_opt(0.1, cache_p=True)
-    (t_adamw, t_psgd01, t_psgd1, t_psgd1s, t_psgd1p, t_psgd01c), \
-        (l_adamw, l_psgd01, l_psgd1, l_psgd1s, l_psgd1p, l_psgd01c) = \
+    # share_fit_apply at the production operating point: the 10% of steps
+    # that fit skip their separate exprP apply
+    opt01s = psgd_opt(0.1, share_fit_apply=True,
+                      update_preconditioner_first=False)
+    (t_adamw, t_psgd01, t_psgd1, t_psgd1s, t_psgd1p, t_psgd01c, t_psgd01s), \
+        (l_adamw, l_psgd01, l_psgd1, l_psgd1s, l_psgd1p, l_psgd01c,
+         l_psgd01s) = \
         time_interleaved([
             (make_n_step(adamw, loss_fn),
              (params, adamw.init(params), tokens, targets)),
@@ -204,6 +209,8 @@ def main(medium: bool = False):
              (params, opt1p.init(params), tokens, targets)),
             (make_n_step(opt01c, loss_fn),
              (params, opt01c.init(params), tokens, targets)),
+            (make_n_step(opt01s, loss_fn),
+             (params, opt01s.init(params), tokens, targets)),
         ])
     log(f"adamw step: {t_adamw*1e3:.2f} ms (loss {l_adamw:.3f})")
     log(f"psgd step (p=0.1): {t_psgd01*1e3:.2f} ms (loss {l_psgd01:.3f})")
@@ -214,6 +221,8 @@ def main(medium: bool = False):
         f"(loss {l_psgd1p:.3f})")
     log(f"psgd step (p=0.1, cache_p): {t_psgd01c*1e3:.2f} ms "
         f"(loss {l_psgd01c:.3f})")
+    log(f"psgd step (p=0.1, share_fit_apply): {t_psgd01s*1e3:.2f} ms "
+        f"(loss {l_psgd01s:.3f})")
 
     # --- isolated Q-update + Pg-apply (the primary kernel metric).
     # The loop body mirrors a real optimizer step: update + apply to a
@@ -363,6 +372,8 @@ def main(medium: bool = False):
             "psgd_p1.0_pipelined_ratio": round(t_psgd1p / t_adamw, 4),
             "psgd_p0.1_cached_ms": round(t_psgd01c * 1e3, 2),
             "psgd_p0.1_cached_ratio": round(t_psgd01c / t_adamw, 4),
+            "psgd_p0.1_shared_ms": round(t_psgd01s * 1e3, 2),
+            "psgd_p0.1_shared_ratio": round(t_psgd01s / t_adamw, 4),
             "q_update_apply_us": round(t_q * 1e6),
             "q_update_mfu": None if q_mfu is None else round(q_mfu, 4),
             "q_update_gflop_per_step": (
