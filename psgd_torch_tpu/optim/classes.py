@@ -11,7 +11,8 @@ here takes and returns params:
         loss, params = opt.step(loss_fn, params, batch)
 
 ``loss_fn(params, *args)`` must be a pure scalar loss (the closure
-equivalent).  Pass a FIXED loss_fn and feed per-step data through ``*args``
+equivalent); with ``step(..., has_aux=True)`` it may return ``(loss, aux)``
+— the reference's closure-tuple-with-loss-first contract (psgd.py:594-596).  Pass a FIXED loss_fn and feed per-step data through ``*args``
 — the step is jitted per loss_fn identity, so a fresh lambda every step
 forces recompilation (the cache warns and resets if that happens).  The
 reference's "all hyperparameters mutable on the fly" contract (psgd.py
@@ -104,7 +105,7 @@ class _ClosureOptimizer:
     def _needs_hvp(self) -> bool:
         return False
 
-    def _step_fn(self, loss_fn):
+    def _step_fn(self, loss_fn, has_aux=False):
         self._refresh()
         if len(self._jit_cache) >= self._MAX_JIT_CACHE:
             import warnings
@@ -113,17 +114,22 @@ class _ClosureOptimizer:
                 "retraces and recompiles. Pass one fixed loss_fn and supply "
                 "batch data through step(loss_fn, params, *args).")
             self._jit_cache.clear()
-        key = (id(loss_fn), self._built_with)
+        key = (id(loss_fn), has_aux, self._built_with)
         if key not in self._jit_cache:
             tx = self._tx
             needs_hvp = self._needs_hvp()
             exact = self._kwargs.get("exact_hessian_vector_product", True)
+            # reference closures may return a tuple with the loss first
+            # (psgd.py:594-596); the Hvp path always needs the scalar view
+            scalar_fn = ((lambda p, *a: loss_fn(p, *a)[0]) if has_aux
+                         else loss_fn)
 
             @jax.jit
             def step(params, state, lr_params, *args):
-                loss, grads = jax.value_and_grad(loss_fn)(params, *args)
+                out, grads = jax.value_and_grad(loss_fn, has_aux=has_aux)(
+                    params, *args)
                 if needs_hvp:
-                    hvp_fn = make_hvp_fn(loss_fn, *args, exact=exact)
+                    hvp_fn = make_hvp_fn(scalar_fn, *args, exact=exact)
                     updates, state = tx.update(grads, state, params,
                                                hvp_fn=hvp_fn)
                 else:
@@ -131,18 +137,23 @@ class _ClosureOptimizer:
                 params = jax.tree_util.tree_map(
                     lambda p, u: p - lr_params.astype(p.dtype) * u,
                     params, updates)
-                return loss, params, state
+                return out, params, state
 
             self._jit_cache[key] = step
         return self._jit_cache[key]
 
-    def step(self, loss_fn: Callable, params: Any, *args) -> Tuple[jax.Array, Any]:
-        """One optimization step; returns (loss, new_params)."""
-        fn = self._step_fn(loss_fn)
-        loss, params, self.state = fn(params, self.state,
-                                      jnp.asarray(self.lr_params, jnp.float32),
-                                      *args)
-        return loss, params
+    def step(self, loss_fn: Callable, params: Any, *args,
+             has_aux: bool = False) -> Tuple[Any, Any]:
+        """One optimization step; returns (loss, new_params).
+
+        With ``has_aux=True``, ``loss_fn`` returns ``(loss, aux)`` (the
+        reference's closure-returning-a-tuple-with-loss-first contract,
+        psgd.py:594-596) and step returns ``((loss, aux), new_params)``."""
+        fn = self._step_fn(loss_fn, has_aux)
+        out, params, self.state = fn(params, self.state,
+                                     jnp.asarray(self.lr_params, jnp.float32),
+                                     *args)
+        return out, params
 
 
 class KronWhiten(_ClosureOptimizer):

@@ -70,6 +70,93 @@ def collective_bytes(compiled, per_op: bool = False):
     return sum(out.values())
 
 
+_COLLECTIVE_PAT = re.compile(
+    r"=\s*(\([^)]*\)|\w+\[[\d,]*\][^=\n]*?)\s*"
+    r"(all-reduce|all-gather|all-to-all|reduce-scatter|collective-permute)"
+    r"(?:-start)?\(([^\n]*)")
+_SHAPE_PAT = re.compile(r"(\w+?)\[([\d,]*)\]")
+_IOTA_GROUPS_PAT = re.compile(
+    r"replica_groups=\[(\d+),(\d+)\]<=\[([\d,]+)\](?:T\(([\d,]+)\))?")
+_EXPLICIT_GROUPS_PAT = re.compile(r"replica_groups=\{(\{[^=]*?\})\}")
+_PAIRS_PAT = re.compile(
+    r"source_target_pairs=\{((?:\{\d+,\d+\},?)*)\}")
+
+
+def _shapes_bytes(shapes: str) -> int:
+    total = 0
+    for sm in _SHAPE_PAT.finditer(shapes):
+        dt, dims = sm.group(1), sm.group(2)
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += int(n * _dtype_bytes(dt))
+    return total
+
+
+def _parse_groups(attrs: str):
+    """Replica groups of one HLO collective as a list of id lists, handling
+    both the explicit ``{{0,1},{2,3}}`` and the iota
+    ``[G,S]<=[dims]T(perm)`` encodings; None if no groups attribute."""
+    m = _IOTA_GROUPS_PAT.search(attrs)
+    if m:
+        import numpy as np
+        g, s = int(m.group(1)), int(m.group(2))
+        dims = [int(d) for d in m.group(3).split(",")]
+        ids = np.arange(int(np.prod(dims))).reshape(dims)
+        if m.group(4):
+            ids = ids.transpose([int(p) for p in m.group(4).split(",")])
+        return ids.reshape(g, s).tolist()
+    m = _EXPLICIT_GROUPS_PAT.search(attrs)
+    if m:
+        return [[int(x) for x in grp.split(",") if x.strip()]
+                for grp in re.findall(r"\{([\d,\s]*)\}", m.group(1))]
+    return None
+
+
+def collective_boundary_bytes(compiled, group_of, per_op: bool = False):
+    """Split one execution's collective traffic into intra- vs
+    cross-boundary bytes, given ``group_of``: a sequence mapping each
+    logical device position (the order of the mesh's flattened devices) to
+    a boundary label — e.g. ``process_index`` per device, so "cross" means
+    the collective rides DCN rather than ICI.
+
+    Returns ``{"intra": bytes, "cross": bytes}``, or with ``per_op=True``
+    ``{op_kind: {"intra": b, "cross": b}}``.  A collective counts as cross
+    if ANY of its replica groups (or any collective-permute source→target
+    pair) spans two boundary labels.  This is the testable proxy for the
+    BASELINE.md multi-host scaling target: Q-fit collectives must ride only
+    the ICI axes (assert cross == 0 on the optimizer-update program)."""
+    group_of = list(group_of)
+    text = compiled.as_text()
+    out: dict = {}
+    for m in _COLLECTIVE_PAT.finditer(text):
+        shapes, kind, attrs = m.group(1), m.group(2), m.group(3)
+        nbytes = _shapes_bytes(shapes)
+        crosses = False
+        groups = _parse_groups(attrs)
+        pm = _PAIRS_PAT.search(attrs)
+        if groups is not None:
+            for grp in groups:
+                labels = {group_of[i] for i in grp if i < len(group_of)}
+                if len(labels) > 1:
+                    crosses = True
+                    break
+        elif pm:
+            for s, t in re.findall(r"\{(\d+),(\d+)\}", pm.group(1)):
+                if group_of[int(s)] != group_of[int(t)]:
+                    crosses = True
+                    break
+        else:  # no groups attribute: spans all devices
+            crosses = len(set(group_of)) > 1
+        slot = out.setdefault(kind, {"intra": 0, "cross": 0})
+        slot["cross" if crosses else "intra"] += nbytes
+    if per_op:
+        return out
+    return {"intra": sum(v["intra"] for v in out.values()),
+            "cross": sum(v["cross"] for v in out.values())}
+
+
 class StepTimer:
     """Wall-clock step timer with warmup discard and simple stats.
 

@@ -110,3 +110,44 @@ def test_jit_cache_bounded():
             _, p = opt.step(lambda x, _i=i: jnp.sum(x ** 2), p)
     assert len(opt._jit_cache) <= opt._MAX_JIT_CACHE
     assert any("recompil" in str(x.message) for x in w)
+
+
+def test_step_has_aux_tuple_closure():
+    """Reference closures may return a tuple with the loss first
+    (psgd.py:594-596): has_aux=True accepts (loss, aux) and returns it."""
+    h = jnp.diag(jnp.linspace(0.5, 5.0, 8))
+
+    def loss_fn(w):
+        loss = 0.5 * w @ (h @ w)
+        return loss, {"resid": w - 1.0, "n": jnp.sum(w)}
+
+    params = jnp.ones(8)
+    opt = classes.KronWhiten(params, lr_params=0.2,
+                             preconditioner_init_scale=1.0)
+    for i in range(200):
+        opt.lr_params = 0.2 * (1.0 - i / 200)  # whitened updates need anneal
+        prev = params
+        (loss, aux), params = opt.step(loss_fn, params, has_aux=True)
+    assert float(loss) < 1e-3, float(loss)
+    assert set(aux) == {"resid", "n"}
+    # aux is evaluated at the pre-step params (the closure's input)
+    np.testing.assert_allclose(float(aux["n"]), float(jnp.sum(prev)),
+                               rtol=1e-6)
+
+
+def test_step_has_aux_newton_hvp():
+    """has_aux composes with the Hvp (Newton) path: the scalar view feeds
+    the Hessian-vector product while aux is returned untouched."""
+    h = jnp.diag(10.0 ** jnp.linspace(-1, 1, 10))
+
+    def loss_fn(w):
+        return 0.5 * w @ (h @ w), jnp.max(jnp.abs(w))
+
+    params = jnp.ones(10)
+    opt = classes.KronNewton(params, lr_params=0.5, grad_clip_max_norm=10.0)
+    for _ in range(300):
+        prev = params
+        (loss, amax), params = opt.step(loss_fn, params, has_aux=True)
+    assert float(loss) < 1e-6, float(loss)
+    np.testing.assert_allclose(float(amax), float(jnp.max(jnp.abs(prev))),
+                               rtol=1e-5)

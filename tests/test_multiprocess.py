@@ -70,6 +70,44 @@ _WORKER = textwrap.dedent("""
             jax.block_until_ready(params)
         l = float(jax.jit(loss_fn)(params, batch))
     print(f"RESULT {l:.9f}", flush=True)
+
+    # --- DCN cleanliness (BASELINE.md >= 85% 1-chip -> 2-hosts proxy):
+    # compile the PRODUCTION sharded optimizer update (ZeRO stack-sharded Q
+    # over fsdp + dim-sharded embedding factors) on this hybrid mesh and
+    # assert every Q-fit collective rides only the intra-process (ICI)
+    # axes — zero bytes cross the dcn (process) boundary.
+    from psgd_torch_tpu.models import gpt2
+    from psgd_torch_tpu.parallel import gpt2_partition_specs, psgd_state_specs
+    from psgd_torch_tpu.utils import collective_boundary_bytes
+
+    cfg = gpt2.tiny_config(n_layer=4, n_head=4, n_embd=128, block_size=64,
+                           vocab_size=512, compute_dtype=jnp.float32)
+    gp = gpt2.init_gpt2(jax.random.key(0), cfg)
+    mask = gpt2.scanned_layers_mask(gp)
+    p_specs = gpt2_partition_specs()
+    popt2 = popt.kron_whiten(
+        learning_rate=1e-3, momentum=0.9, whiten_grad=False,
+        update_preconditioner_first=False, share_fit_apply=True,
+        preconditioner_max_skew=2.0, preconditioner_init_scale=1.0,
+        scanned_layers=mask, stack_sharding=(mesh, "fsdp"),
+        factor_sharding=(mesh, p_specs))
+    st2 = popt2.init(gp)
+    s_specs2 = psgd_state_specs(p_specs, st2, scanned_layers=mask,
+                                stack_axis="fsdp",
+                                factor_sharding_params=gp, mesh=mesh)
+    gp = jax.device_put(gp, named_shardings(mesh, p_specs))
+    st2 = jax.device_put(st2, named_shardings(mesh, s_specs2))
+    with mesh:
+        compiled = jax.jit(lambda g, s, p: popt2.update(g, s, p)).lower(
+            gp, st2, gp).compile()
+    group_of = [d.process_index for d in mesh.devices.flatten()]
+    per_op = collective_boundary_bytes(compiled, group_of, per_op=True)
+    cross = sum(v["cross"] for v in per_op.values())
+    intra = sum(v["intra"] for v in per_op.values())
+    assert cross == 0, (
+        f"Q-fit collectives cross the DCN boundary: {per_op}")
+    print(f"DCN_CLEAN intra={intra} cross={cross} per_op={per_op}",
+          flush=True)
 """)
 
 
@@ -101,3 +139,72 @@ def test_two_process_hybrid_mesh_psgd_step(tmp_path):
               if line.startswith("RESULT")]
     assert len(losses) == 2
     assert losses[0] == losses[1], f"replica losses differ: {losses}"
+    # both workers compiled the production sharded Q update and proved zero
+    # bytes of optimizer collectives cross the DCN (process) boundary
+    clean = [line for out in outs for line in out.splitlines()
+             if line.startswith("DCN_CLEAN")]
+    assert len(clean) == 2, f"missing DCN cleanliness proof:\n{outs[0][-2000:]}"
+
+
+def test_collective_boundary_bytes_attribution():
+    """Unit test of the HLO boundary attribution on one process: a psum
+    over the leading (process-spanning) mesh axis is cross-boundary, one
+    over a trailing axis is intra, and the production sharded Q update is
+    DCN-clean under a simulated 2-host split."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+
+    from psgd_torch_tpu.utils import collective_boundary_bytes
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("dcn", "fsdp", "tp"))
+    # simulated boundary: first half of the flattened devices = "host 0"
+    group_of = [0] * 4 + [1] * 4
+
+    def compile_psum(axis, spec):
+        x = jax.device_put(jnp.ones((8, 8)), NamedSharding(mesh, spec))
+        f = jax.jit(jax.shard_map(
+            lambda v: jax.lax.psum(v, axis), mesh=mesh, in_specs=spec,
+            out_specs=spec))
+        return f.lower(x).compile()
+
+    cross = collective_boundary_bytes(
+        compile_psum("dcn", PS("dcn", None)), group_of)
+    assert cross["cross"] > 0 and cross["intra"] == 0, cross
+    intra = collective_boundary_bytes(
+        compile_psum("tp", PS("tp", None)), group_of)
+    assert intra["intra"] > 0 and intra["cross"] == 0, intra
+
+    import optax  # noqa: F401
+    import psgd_torch_tpu.optim as popt
+    from psgd_torch_tpu.models import gpt2
+    from psgd_torch_tpu.parallel import (gpt2_partition_specs,
+                                         named_shardings, psgd_state_specs)
+
+    cfg = gpt2.tiny_config(n_layer=4, n_head=4, n_embd=128, block_size=64,
+                           vocab_size=512, compute_dtype=jnp.float32)
+    params = gpt2.init_gpt2(jax.random.key(0), cfg)
+    mask = gpt2.scanned_layers_mask(params)
+    p_specs = gpt2_partition_specs()
+    opt = popt.kron_whiten(
+        learning_rate=1e-3, momentum=0.9, whiten_grad=False,
+        update_preconditioner_first=False, share_fit_apply=True,
+        preconditioner_max_skew=2.0, preconditioner_init_scale=1.0,
+        scanned_layers=mask, stack_sharding=(mesh, "fsdp"),
+        factor_sharding=(mesh, p_specs))
+    state = opt.init(params)
+    s_specs = psgd_state_specs(p_specs, state, scanned_layers=mask,
+                               stack_axis="fsdp",
+                               factor_sharding_params=params, mesh=mesh)
+    params = jax.device_put(params, named_shardings(mesh, p_specs))
+    state = jax.device_put(state, named_shardings(mesh, s_specs))
+    with mesh:
+        compiled = jax.jit(lambda g, s, p: opt.update(g, s, p)).lower(
+            params, state, params).compile()
+    per_op = collective_boundary_bytes(compiled, group_of, per_op=True)
+    total_cross = sum(v["cross"] for v in per_op.values())
+    total_intra = sum(v["intra"] for v in per_op.values())
+    assert total_cross == 0, f"Q-fit collectives cross DCN: {per_op}"
+    assert total_intra > 0  # the sharded fit genuinely communicates on ICI

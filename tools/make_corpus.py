@@ -20,7 +20,10 @@ import hashlib
 import os
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "data", "corpus.txt.gz")
-TARGET_BYTES = 4_500_000
+# ~18 MB raw -> ~4.5M word-level tokens, so the 3000-step x batch 4 x
+# seq 1024 convergence run (12.3M tokens seen) is <= ~3 epochs instead of
+# the 11-epoch regime the round-4 judge flagged (VERDICT r4 next #1).
+TARGET_BYTES = 18_000_000
 
 PROSE_SOURCES = [
     "/THIRD_PARTY_NOTICES/LICENSES.txt",
@@ -34,6 +37,28 @@ CODE_GLOBS = [
     "/opt/venv/lib/python3.12/site-packages/jax/_src/numpy/*.py",
     "/opt/venv/lib/python3.12/site-packages/numpy/_core/*.py",
     "/opt/venv/lib/python3.12/site-packages/optax/_src/*.py",
+    # round-5 expansion: more open-source python for a ~3-epoch regime
+    "/opt/venv/lib/python3.12/site-packages/jax/_src/pallas/**/*.py",
+    "/opt/venv/lib/python3.12/site-packages/jax/_src/interpreters/*.py",
+    "/opt/venv/lib/python3.12/site-packages/numpy/lib/*.py",
+    "/opt/venv/lib/python3.12/site-packages/numpy/linalg/*.py",
+    "/opt/venv/lib/python3.12/site-packages/scipy/stats/*.py",
+    "/opt/venv/lib/python3.12/site-packages/scipy/optimize/*.py",
+    "/opt/venv/lib/python3.12/site-packages/scipy/linalg/*.py",
+    "/opt/venv/lib/python3.12/site-packages/scipy/sparse/*.py",
+    "/opt/venv/lib/python3.12/site-packages/torch/nn/modules/*.py",
+    "/opt/venv/lib/python3.12/site-packages/torch/optim/*.py",
+    "/opt/venv/lib/python3.12/site-packages/torch/_dynamo/*.py",
+    "/opt/venv/lib/python3.12/site-packages/torch/distributed/*.py",
+    "/opt/venv/lib/python3.12/site-packages/torch/fx/*.py",
+    "/opt/venv/lib/python3.12/site-packages/pandas/core/*.py",
+    "/opt/venv/lib/python3.12/site-packages/sklearn/**/*.py",
+    "/opt/venv/lib/python3.12/site-packages/flax/nnx/**/*.py",
+    "/opt/venv/lib/python3.12/site-packages/flax/linen/*.py",
+    "/opt/venv/lib/python3.12/site-packages/sympy/core/*.py",
+    "/opt/venv/lib/python3.12/site-packages/sympy/functions/**/*.py",
+    "/opt/venv/lib/python3.12/site-packages/matplotlib/*.py",
+    "/opt/venv/lib/python3.12/site-packages/IPython/core/*.py",
 ]
 
 
@@ -58,9 +83,12 @@ def main():
             t = dedup_paragraphs(f.read())
         parts.append(t)
         size += len(t)
-    files = []
+    files, seen_files = [], set()
     for g in CODE_GLOBS:
-        files.extend(sorted(glob.glob(g)))
+        for path in sorted(glob.glob(g, recursive=True)):
+            if path not in seen_files:
+                seen_files.add(path)
+                files.append(path)
     for path in files:
         if size >= TARGET_BYTES:
             break
