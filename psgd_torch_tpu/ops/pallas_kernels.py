@@ -164,9 +164,10 @@ def fused_ns_update(term1: jax.Array, q: jax.Array, lips: jax.Array,
     b, n, _ = term1.shape
     from .linalg import width_norm_k
     k = width_norm_k(k, n)   # same wide-factor floor as the XLA bounds
-    if n > _NS_SINGLE_MAX:
-        if (jnp.dtype(q.dtype) == jnp.dtype(jnp.bfloat16)
-                and n <= _NS_SPLIT_MAX):
+    is_bf16 = jnp.dtype(q.dtype) == jnp.dtype(jnp.bfloat16)
+    if n > (_NS_SINGLE_MAX if is_bf16 else _NS_SINGLE_MAX_F32):
+        split_max = _NS_SPLIT_MAX if is_bf16 else _NS_SPLIT_MAX_F32
+        if n <= split_max:
             # two-kernel split (bound+step | procrustes)
             return _split_ns_update(term1, q, lips, term2, seed, lr, beta_l,
                                     max_step, k, step_mat)
@@ -208,8 +209,13 @@ def fused_ns_update(term1: jax.Array, q: jax.Array, lips: jax.Array,
     return new_q, new_l
 
 
-_NS_SINGLE_MAX = 1536   # one fused kernel: ~7 n^2 fp32 live in VMEM
-_NS_SPLIT_MAX = 2048    # two-kernel split: <= ~4 n^2 fp32 live per kernel
+# Per-path width caps, set by what actually compiles on v5e (probed per
+# dtype; the f32 inputs add ~3 n^2 x 4 B of resident operands on top of the
+# fp32 working set, so every f32 cap sits one width notch below bf16):
+_NS_SINGLE_MAX = 1536       # one fused kernel: ~7 n^2 fp32 live in VMEM
+_NS_SINGLE_MAX_F32 = 1280   # f32 monolith: 1280 compiles, 1536 does not
+_NS_SPLIT_MAX = 2048        # two-kernel split: <= ~4 n^2 fp32 live per kernel
+_NS_SPLIT_MAX_F32 = 1536    # f32 split: 1536 compiles, 2048 does not
 
 
 def _ns_step_kernel(seed_ref, *refs, k: int, has_step_mat: bool,
@@ -549,12 +555,13 @@ _NS_TILED_MAX_F32 = 3072    # resident f32 matrix 36 MB
 
 def ns_update_supported(n: int, dtype) -> bool:
     """Whether the fused kernel path handles this factor: the monolithic
-    kernel to n <= 1536 (measured 1.6-5.2x the XLA path on v5e), the
-    two-kernel split to n <= 2048 for bf16 Q (74% MFU, 1.9x the XLA path;
-    the f32 working set exceeds VMEM there), and the tiled six-kernel path
-    to n <= 4096 bf16 / 3072 f32 (row-block streaming; 62-68% MFU where
-    the XLA fallback runs ~49-52%).  Above the envelope callers fall back
-    to XLA."""
+    kernel to n <= 1536 bf16 / 1280 f32 (measured 1.6-5.2x the XLA path on
+    v5e), the two-kernel split to n <= 2048 bf16 / 1536 f32 (74% MFU bf16,
+    1.9x the XLA path; the wider f32 working sets exceed VMEM — probed per
+    width on v5e), and the tiled six-kernel path to n <= 4096 bf16 /
+    3072 f32 (row-block streaming; 62-68% MFU where the XLA fallback runs
+    ~49-52%).  Above the envelope callers fall back to XLA (measured at
+    n = 8192 bf16 — see results/ns_widths_bf16.json)."""
     if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
         return False
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):

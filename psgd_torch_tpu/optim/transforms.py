@@ -616,10 +616,18 @@ def scale_by_kron_whiten(
     ``pipelined_fit=True`` fits Q on the PREVIOUS step's momentum (the
     buffer before this step's EMA update) instead of the current one.  The
     fit then reads only optimizer state — zero data dependency on this
-    step's gradients — so inside a jitted train step XLA's latency-hiding
-    scheduler is free to run the whole Q fit, including the stack/factor
-    sharding collectives, concurrently with the model's forward/backward
-    pass (SURVEY.md §7: "ICI collectives overlapped with grad compute").
+    step's gradients (jvp exactly 0, tests/test_pipelined_fit.py) — so
+    inside a jitted train step XLA's scheduler is free to place the whole
+    Q fit, including the stack/factor sharding collectives, anywhere
+    relative to the model's forward/backward (at a LITERAL update
+    probability 1.0 the fit is also cond-free — see `always_fit` below —
+    which is what makes that freedom real: a lax.cond is a separate HLO
+    computation, i.e. a scheduling barrier).  Measured on one v5e chip the
+    flag is free (+0.05 ms at GPT-2 124M, results/pipelined_fit_overlap
+    .json), but a single serial core has no idle unit to hide the fit in;
+    the intended payoff — fit collectives riding under bwd compute on a
+    sharded mesh (SURVEY.md §7) — is EXPERIMENTAL: structurally enabled
+    and single-chip-validated, not yet profiled on multi-chip hardware.
     One-step-delayed stochastic fitting has the same whitening fixed point;
     the first fit happens at step 1 (step 0's buffer is zeros).  Requires
     momentum whitening (``whiten_grad=False``, the production GPT-2 recipe,
@@ -674,6 +682,18 @@ def scale_by_kron_whiten(
     in the same compute layout as their Q (dense P replicated, diag P
     sharded — the refresh is factor-local, zero extra collectives).  Not
     meaningful for the fit-P geometries (their apply is already one pass).
+
+    `always_fit` (automatic, not a kwarg): when
+    ``preconditioner_update_probability`` is a LITERAL number >= 1.0, the
+    fit gate ``uniform([0,1)) < p`` is statically true and the lax.cond
+    around the Q fit is dropped entirely — the fit ops join the entry
+    computation where XLA can schedule them against the rest of the step
+    (a cond lowers to a separate HLO computation: a scheduling barrier).
+    Exactly the same math (the cond was always taken); under
+    ``pipelined_fit`` the remaining count>0 gate becomes a select and step
+    0's dead fit on the zeros buffer is discarded.  A schedule (even a
+    constant one) keeps the cond path.  tests/test_always_fit.py pins the
+    two paths to each other.
     """
     dq = kron_p.canonical_dq(dq)
     momentum = momentum if 0.0 < momentum < 1.0 else 0.0
@@ -786,6 +806,18 @@ def scale_by_kron_whiten(
         key, k_gate, k_fit = jax.random.split(state.key, 3)
         do_update = (jax.random.uniform(k_gate)
                      < _sched(preconditioner_update_probability, state.count))
+        # static p >= 1.0: uniform() draws from [0, 1), so the gate is
+        # statically true — drop the lax.cond around the fit entirely.  A
+        # cond lowers to a separate HLO computation, i.e. a scheduling
+        # barrier; without it the fit ops live in the entry computation
+        # where XLA's latency-hiding scheduler can interleave them with the
+        # model's forward/backward (the pipelined_fit contract; measured
+        # schedule: tools/pipelined_fit_overlap.py).  Under pipelined_fit
+        # the remaining count>0 gate becomes a cheap select on the fitted
+        # state (step 0's dead fit on the zeros buffer is discarded).
+        always_fit = (isinstance(preconditioner_update_probability,
+                                 (int, float))
+                      and float(preconditioner_update_probability) >= 1.0)
 
         if pipelined_fit:
             # fit on the PRE-update momentum: the fit subgraph reads only
@@ -839,39 +871,53 @@ def scale_by_kron_whiten(
 
         def fit_all(states, return_pg=False):
             out, pgs = [], []
-            for i, (st, plan, f, ls, src) in enumerate(
-                    zip(states, plans, flags, routed, fit_sources)):
-                if ls:
-                    out.append(st)  # handled by a fused sharded path
-                    pgs.append(None)
-                    continue
-                qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
-                res = _fit_kron_leaf(
-                    st, plan, jax.random.fold_in(k_fit, i), f, "whiten",
-                    g=src.astype(qdt), lr=lr_q, beta_l=beta_l_t,
-                    damping=damping_t, norm_k=resolve_norm_k(norm_k, qdt),
-                    return_pg=return_pg)
-                if return_pg:
-                    res, pg = res
-                    pgs.append(pg)
-                out.append(res)
+            with jax.named_scope("psgd_q_fit"):
+                for i, (st, plan, f, ls, src) in enumerate(
+                        zip(states, plans, flags, routed, fit_sources)):
+                    if ls:
+                        out.append(st)  # handled by a fused sharded path
+                        pgs.append(None)
+                        continue
+                    qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
+                    res = _fit_kron_leaf(
+                        st, plan, jax.random.fold_in(k_fit, i), f, "whiten",
+                        g=src.astype(qdt), lr=lr_q, beta_l=beta_l_t,
+                        damping=damping_t, norm_k=resolve_norm_k(norm_k, qdt),
+                        return_pg=return_pg)
+                    if return_pg:
+                        res, pg = res
+                        pgs.append(pg)
+                    out.append(res)
             return (tuple(out), pgs) if return_pg else tuple(out)
+
+        def fit_now(states):
+            # the cond-free fit (always_fit): under pipelined_fit, step 0's
+            # fit read the all-zeros momentum buffer — discard it with a
+            # select (values only; both sides are the same pytree)
+            fitted = fit_all(states)
+            if pipelined_fit:
+                keep = state.count > 0
+                fitted = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(keep, a, b), fitted, states)
+            return fitted
 
         def apply_all_raw(states, pcs=None):
             # raw P·src per leaf in the Q dtype (None for routed leaves);
             # ``pcs`` (cache_p) applies through the cached P_i factors
             out = []
-            for i, (st, plan, f, ls, src) in enumerate(
-                    zip(states, plans, flags, routed, apply_sources)):
-                if ls:
-                    out.append(None)  # handled by a fused sharded path
-                    continue
-                qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
-                if pcs is not None:
-                    out.append(_apply_kron_leaf_cached(
-                        pcs[i], plan, src.astype(qdt), f))
-                else:
-                    out.append(_apply_kron_leaf(st, plan, src.astype(qdt), f))
+            with jax.named_scope("psgd_p_apply"):
+                for i, (st, plan, f, ls, src) in enumerate(
+                        zip(states, plans, flags, routed, apply_sources)):
+                    if ls:
+                        out.append(None)  # handled by a fused sharded path
+                        continue
+                    qdt = jax.tree_util.tree_leaves(st.q)[0].dtype
+                    if pcs is not None:
+                        out.append(_apply_kron_leaf_cached(
+                            pcs[i], plan, src.astype(qdt), f))
+                    else:
+                        out.append(_apply_kron_leaf(st, plan,
+                                                    src.astype(qdt), f))
             return out
 
         def _finish(raw):
@@ -911,7 +957,11 @@ def scale_by_kron_whiten(
             # internal P(src + damping*v) IS the preconditioned update (the
             # sources coincide and the fit uses the pre-update Q, both
             # validated above); otherwise apply as usual.
-            if cache_p:
+            if always_fit:  # static gate (pipelined_fit excluded here):
+                states_t, raw = fit_all(states_t, return_pg=True)
+                if cache_p:
+                    pcache_t = _cache_unrouted(states_t)
+            elif cache_p:
                 def fit_branch(s):
                     ns, pgs = fit_all(s, return_pg=True)
                     return ns, _cache_unrouted(ns), pgs
@@ -925,7 +975,17 @@ def scale_by_kron_whiten(
                     lambda s: (s, apply_all_raw(s)), states_t)
             pre = _finish(raw)
         elif update_preconditioner_first:  # biased update (psgd.py:615-618)
-            if cache_p:
+            if always_fit:
+                states_t = fit_now(states_t)
+                if cache_p:
+                    # every step is a fit step: refresh unconditionally (at
+                    # a discarded pipelined step 0 this recomputes the same
+                    # cache from the unchanged Q)
+                    pcache_t = _cache_unrouted(states_t)
+                    pre = _finish(apply_all_raw(states_t, pcache_t))
+                else:
+                    pre = apply_all(states_t)
+            elif cache_p:
                 states_t, pcache_t = jax.lax.cond(
                     do_update, fit_and_cache, lambda s: (s, pcache_t),
                     states_t)
@@ -935,7 +995,13 @@ def scale_by_kron_whiten(
                                         states_t)
                 pre = apply_all(states_t)
         else:  # unbiased: precondition with the pre-update Q
-            if cache_p:
+            if always_fit:
+                pre = (_finish(apply_all_raw(states_t, pcache_t))
+                       if cache_p else apply_all(states_t))
+                states_t = fit_now(states_t)
+                if cache_p:
+                    pcache_t = _cache_unrouted(states_t)
+            elif cache_p:
                 pre = _finish(apply_all_raw(states_t, pcache_t))
                 states_t, pcache_t = jax.lax.cond(
                     do_update, fit_and_cache, lambda s: (s, pcache_t),

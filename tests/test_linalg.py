@@ -8,6 +8,8 @@ import pytest
 
 from psgd_torch_tpu.ops import linalg
 
+pytestmark = pytest.mark.smoke  # <2-min curated tier
+
 
 def _rand_spd(key, n, dtype=jnp.float64):
     a = jax.random.normal(key, (n, n), dtype)

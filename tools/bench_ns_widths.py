@@ -70,7 +70,16 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--json", default=None,
                     help="write per-width results to this JSON file")
+    ap.add_argument("--force-path", default="auto",
+                    choices=["auto", "split", "tiled"],
+                    help="override the kernel-path dispatch above the "
+                         "monolith width (for split-vs-tiled comparisons)")
     args = ap.parse_args()
+    if args.force_path != "auto":
+        import psgd_torch_tpu.ops.pallas_kernels as pk
+        lim = 10 ** 9 if args.force_path == "split" else 0
+        pk._NS_SINGLE_MAX = pk._NS_SINGLE_MAX_F32 = 0
+        pk._NS_SPLIT_MAX = pk._NS_SPLIT_MAX_F32 = lim
     records = []
     dt = jnp.dtype(args.dtype)
     norm_k = 128 if dt == jnp.dtype(jnp.bfloat16) else 32
