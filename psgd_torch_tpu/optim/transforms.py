@@ -48,6 +48,20 @@ from .hvp import rand_like_tree
 
 
 
+def _static_always(prob) -> bool:
+    """True when the update probability is a LITERAL number >= 1.0: the fit
+    gate ``uniform([0,1)) < prob`` is then statically true, so the lax.cond
+    around the fit can be dropped (a cond is a separate HLO computation —
+    a scheduling barrier).  Schedules (even constant ones) stay dynamic."""
+    return isinstance(prob, (int, float)) and float(prob) >= 1.0
+
+
+def _gated_fit(always: bool, gate, fit, s):
+    """``fit(s)`` unconditionally when the gate is statically true, else the
+    usual ``lax.cond(gate, fit, identity, s)``."""
+    return fit(s) if always else jax.lax.cond(gate, fit, lambda x: x, s)
+
+
 def _lazy_cond_zeros(pred, draw_fn):
     """``lax.cond(pred, draw_fn, <zeros>)`` with the skip branch's avals
     taken from ``draw_fn`` itself (via eval_shape), not from the params
@@ -287,7 +301,7 @@ def _stacked_specs(st: "kron_p.KronState", axis):
 def _fit_apply_kron_leaf_layer_sharded(
         st, plan, key, mesh, axis, do_update, fit_src, apply_src,
         out_dtype, clip_amps=None, fit_first=True, share=False,
-        pcache=None, **fit_kw):
+        pcache=None, always_fit=False, **fit_kw):
     """Fit (gated on do_update) + apply (+ optional per-layer clip) for one
     stacked leaf, shard_mapped over the layer axis: each device runs the
     vmapped update for exactly n_layer/k layers — compute scales 1/k by
@@ -347,20 +361,30 @@ def _fit_apply_kron_leaf_layer_sharded(
                 def fit_branch(s):
                     ns, pg = fit(s, return_pg=True)
                     return ns, refresh(ns), pg
-                st_new, pc_new, pg = jax.lax.cond(
-                    do_update, fit_branch,
-                    lambda s: (s, pc_loc, apply(s, pc_loc)), st_loc)
+                if always_fit:  # static gate: see _static_always
+                    st_new, pc_new, pg = fit_branch(st_loc)
+                else:
+                    st_new, pc_new, pg = jax.lax.cond(
+                        do_update, fit_branch,
+                        lambda s: (s, pc_loc, apply(s, pc_loc)), st_loc)
+            elif always_fit:
+                st_new, pg = fit(st_loc, return_pg=True)
             else:
                 st_new, pg = jax.lax.cond(
                     do_update, lambda s: fit(s, return_pg=True),
                     lambda s: (s, apply(s)), st_loc)
         elif cached:
-            st_new, pc_new = jax.lax.cond(
-                do_update, lambda s: (lambda ns: (ns, refresh(ns)))(fit(s)),
-                lambda s: (s, pc_loc), st_loc)
+            if always_fit:
+                st_new = fit(st_loc)
+                pc_new = refresh(st_new)
+            else:
+                st_new, pc_new = jax.lax.cond(
+                    do_update,
+                    lambda s: (lambda ns: (ns, refresh(ns)))(fit(s)),
+                    lambda s: (s, pc_loc), st_loc)
             pg = apply(None, pc_new if fit_first else pc_loc)
         else:
-            st_new = jax.lax.cond(do_update, fit, lambda s: s, st_loc)
+            st_new = _gated_fit(always_fit, do_update, fit, st_loc)
             st_used = st_new if fit_first else st_loc
             pg = apply(st_used)
         pg = pg.astype(out_dtype)
@@ -667,8 +691,13 @@ def scale_by_kron_whiten(
     the per-step n^3 recompute — on a BANDWIDTH-bound step (bf16 state on
     one TPU chip at GPT-2 124M) that saving is offset by the extra cached
     state's traffic and the full train step measured ~neutral-to-slightly-
-    slower (bench.py psgd_p0.1_cached_ratio 1.0122 vs plain 1.0031); at
-    p = 1.0 it always loses slightly (every fit pays the refresh).  Donate
+    slower (bench.py psgd_p0.1_cached_ratio 1.0122 vs plain 1.0031); the
+    claimed FLOP-bound regime was also measured ON-CHIP and still does not
+    win there (f32 state p=0.03/0.1: 1.008-1.009x, exact-Hvp Newton p=0.1:
+    1.001x, at +23% optimizer state — results/cache_p_tpu.json), so on a
+    v5e prefer the plain apply; the knob's measured payoff is CPU /
+    genuinely FLOP-bound deployments.  At p = 1.0 it always loses slightly
+    (every fit pays the refresh).  Donate
     the optimizer state into the jitted step (standard practice): on
     non-fit steps the unchanged cache rides through a lax.cond, which
     costs a copy without donation.  Same trajectory to float rounding (the
@@ -1224,22 +1253,33 @@ def scale_by_kron_newton(
 
         # (v, h) pair: lazily drawn + evaluated under the update gate when
         # hvp_fn drives it; explicit (vs, hvs) fit unconditionally
+        # static gate (see `always_fit` in kron_whiten): a LITERAL update
+        # probability >= 1.0 (or an explicit (vs, hvs) pair, which fits
+        # unconditionally by contract) drops the lax.cond around the fit
+        always_fit = (isinstance(preconditioner_update_probability,
+                                 (int, float))
+                      and float(preconditioner_update_probability) >= 1.0)
         if hvp_fn is not None:
             if params is None:
                 raise ValueError("kron_newton with hvp_fn requires params")
-            pred = jnp.logical_or(
-                jax.random.uniform(k_gate)
-                < _sched(preconditioner_update_probability, state.count),
-                state.count == 0)
 
             def draw_vh(_):
                 vs_ = rand_like_tree(k_v, params)
                 _, hvs_ = hvp_fn(params, vs_)
                 return vs_, hvs_
 
-            vs, hvs = _lazy_cond_zeros(pred, draw_vh)
+            if always_fit:
+                pred = jnp.asarray(True)   # for the sharded paths
+                vs, hvs = draw_vh(None)
+            else:
+                pred = jnp.logical_or(
+                    jax.random.uniform(k_gate)
+                    < _sched(preconditioner_update_probability, state.count),
+                    state.count == 0)
+                vs, hvs = _lazy_cond_zeros(pred, draw_vh)
         elif vs is not None and hvs is not None:
             pred = jnp.asarray(True)
+            always_fit = True
         else:
             raise ValueError("kron_newton requires hvp_fn or explicit (vs, hvs)")
         v_leaves = jax.tree_util.tree_leaves(vs)
@@ -1279,9 +1319,14 @@ def scale_by_kron_newton(
                 return ns, tuple(
                     pcache_t[i] if routed[i] else _cache_kron_leaf(st, p, f)
                     for i, (st, p, f) in enumerate(zip(ns, plans, flags)))
-            states_t, pcache_t = jax.lax.cond(
-                pred, fit_and_cache, lambda s: (s, pcache_t),
-                tuple(kron_states))
+            if always_fit:
+                states_t, pcache_t = fit_and_cache(tuple(kron_states))
+            else:
+                states_t, pcache_t = jax.lax.cond(
+                    pred, fit_and_cache, lambda s: (s, pcache_t),
+                    tuple(kron_states))
+        elif always_fit:
+            states_t = fit_unrouted(tuple(kron_states))
         else:
             states_t = jax.lax.cond(pred, fit_unrouted, lambda s: s,
                                     tuple(kron_states))
@@ -1457,6 +1502,7 @@ def scale_by_lra_whiten(
         key, k_gate, k_fit = jax.random.split(state.key, 3)
         do_update = (jax.random.uniform(k_gate)
                      < _sched(preconditioner_update_probability, state.count))
+        always_fit = _static_always(preconditioner_update_probability)
         lr_q = _sched(lr_preconditioner, state.count)
         beta_l_t = _sched(betaL, state.count)
         damping_t = _sched(damping, state.count)
@@ -1467,7 +1513,8 @@ def scale_by_lra_whiten(
                 g_vec, st, state.mu, state.count, k_fit, do_update,
                 lr_q, beta_l_t, damping_t, amps,
                 vector_sharding, momentum, whiten_grad,
-                preconditioner_init_scale, update_preconditioner_first)
+                preconditioner_init_scale, update_preconditioner_first,
+                always_fit)
             new_state = PSGDState(count=state.count + 1, key=key, mu=mu,
                                   precond=st)
             return unravel(pre[:g_vec.size]), new_state
@@ -1496,11 +1543,11 @@ def scale_by_lra_whiten(
             return _amp_clip(pg, *amps)
 
         if update_preconditioner_first:
-            st = jax.lax.cond(do_update, fit, lambda s: s, st)
+            st = _gated_fit(always_fit, do_update, fit, st)
             pre = apply(st)
         else:
             pre = apply(st)
-            st = jax.lax.cond(do_update, fit, lambda s: s, st)
+            st = _gated_fit(always_fit, do_update, fit, st)
 
         new_state = PSGDState(count=state.count + 1, key=key, mu=mu, precond=st)
         return unravel(pre), new_state
@@ -1510,7 +1557,8 @@ def scale_by_lra_whiten(
 
 def _lra_whiten_sharded(g_vec, st, mu0, count, k_fit, do_update, lr_q,
                         beta_l_t, damping_t, amps, vector_sharding, momentum,
-                        whiten_grad, init_scale, update_first):
+                        whiten_grad, init_scale, update_first,
+                        always_fit=False):
     """One sharded LRA-whiten step: pad the gradient vector, shard rows over
     the mesh axis, and run init-scale + EMA + fit + apply entirely inside
     shard_map (all cross-shard traffic is r-sized — precond/lra.py)."""
@@ -1557,11 +1605,11 @@ def _lra_whiten_sharded(g_vec, st, mu0, count, k_fit, do_update, lr_q,
             return _sharded_amp_clip(pg, (amp_avg, amp_el), ax_, n_true)
 
         if update_first:
-            s = jax.lax.cond(gate, fit, lambda x: x, s)
+            s = _gated_fit(always_fit, gate, fit, s)
             pre = apply(s)
         else:
             pre = apply(s)
-            s = jax.lax.cond(gate, fit, lambda x: x, s)
+            s = _gated_fit(always_fit, gate, fit, s)
         return pre, s, mu
 
     fn = shard_map(local, mesh=mesh_,
@@ -1626,11 +1674,12 @@ def scale_by_lra_newton(
         damping_t = _sched(damping, state.count)
         max_norm = _sched(grad_clip_max_norm, state.count)
 
+        always_fit = _static_always(preconditioner_update_probability)
         if vector_sharding is not None:
-            pred = jnp.logical_or(
+            pred = (jnp.asarray(True) if always_fit else jnp.logical_or(
                 jax.random.uniform(k_gate)
                 < _sched(preconditioner_update_probability, state.count),
-                state.count == 0)
+                state.count == 0))
             if hvp_fn is not None:
                 if params is None:
                     raise ValueError("lra_newton with hvp_fn requires params")
@@ -1642,9 +1691,10 @@ def scale_by_lra_newton(
                     _, hvs_ = hvp_fn(params, vs_)
                     return _ravel(vs_)[0], _ravel(hvs_)[0]
 
-                v_vec, h_vec = _lazy_cond_zeros(pred, mk_vh)
+                v_vec, h_vec = (mk_vh(None) if always_fit
+                                else _lazy_cond_zeros(pred, mk_vh))
             elif vs is not None and hvs is not None:
-                pred = jnp.asarray(True)
+                pred, always_fit = jnp.asarray(True), True
                 v_vec, h_vec = _ravel(vs)[0], _ravel(hvs)[0]
             else:
                 raise ValueError(
@@ -1652,7 +1702,7 @@ def scale_by_lra_newton(
             pre, st, mu = _lra_newton_sharded(
                 g_vec, v_vec, h_vec, st, state.mu, state.count, k_fit, pred,
                 lr_q, beta_l_t, damping_t, max_norm, vector_sharding,
-                momentum, preconditioner_init_scale)
+                momentum, preconditioner_init_scale, always_fit)
             new_state = PSGDState(count=state.count + 1, key=key, mu=mu,
                                   precond=st)
             return unravel(pre[:g_vec.size]), new_state
@@ -1671,17 +1721,20 @@ def scale_by_lra_newton(
         if hvp_fn is not None:
             if params is None:
                 raise ValueError("lra_newton with hvp_fn requires params")
-            pred = jnp.logical_or(
-                jax.random.uniform(k_gate)
-                < _sched(preconditioner_update_probability, state.count),
-                state.count == 0)
 
             def fit_branch(s):
                 vs_ = rand_like_tree(k_v, params)
                 _, hvs_ = hvp_fn(params, vs_)
                 return fit(s, _ravel(vs_)[0], _ravel(hvs_)[0])
 
-            st = jax.lax.cond(pred, fit_branch, lambda s: s, st)
+            if always_fit:
+                st = fit_branch(st)
+            else:
+                pred = jnp.logical_or(
+                    jax.random.uniform(k_gate)
+                    < _sched(preconditioner_update_probability, state.count),
+                    state.count == 0)
+                st = jax.lax.cond(pred, fit_branch, lambda s: s, st)
         elif vs is not None and hvs is not None:
             st = fit(st, _ravel(vs)[0], _ravel(hvs)[0])
         else:
@@ -1703,7 +1756,7 @@ def scale_by_lra_newton(
 
 def _lra_newton_sharded(g_vec, v_vec, h_vec, st, mu0, count, k_fit, pred,
                         lr_q, beta_l_t, damping_t, max_norm, vector_sharding,
-                        momentum, init_scale):
+                        momentum, init_scale, always_fit=False):
     """One sharded LRA-Newton step (see _lra_whiten_sharded)."""
     from jax.sharding import PartitionSpec as PS
     from ..utils.compat import shard_map
@@ -1741,7 +1794,7 @@ def _lra_newton_sharded(g_vec, v_vec, h_vec, st, mu0, count, k_fit, pred,
                 lr=lr_q, beta_l=beta_l_t, damping=damping_t,
                 axis_name=ax_, pad_mask=mask)
 
-        s = jax.lax.cond(pred, fit, lambda x: x, s)
+        s = _gated_fit(always_fit, pred, fit, s)
 
         if momentum > 0:
             mu = _ema_update(mu, g_loc, count, momentum)
@@ -1848,23 +1901,25 @@ def scale_by_dense_newton(
                 damping=_sched(damping, state.count),
                 norm_k=resolve_norm_k(norm_k, qdt))
 
+        always_fit = _static_always(preconditioner_update_probability)
         if vector_sharding is not None:
             if hvp_fn is not None:
                 if params is None:
                     raise ValueError("dense_newton with hvp_fn requires params")
-                pred = jnp.logical_or(
+                pred = (jnp.asarray(True) if always_fit else jnp.logical_or(
                     jax.random.uniform(k_gate)
                     < _sched(preconditioner_update_probability, state.count),
-                    state.count == 0)
+                    state.count == 0))
 
                 def mk_vh(_):
                     vs_ = rand_like_tree(k_v, params)
                     _, hvs_ = hvp_fn(params, vs_)
                     return _ravel(vs_)[0], _ravel(hvs_)[0]
 
-                v_vec, h_vec = _lazy_cond_zeros(pred, mk_vh)
+                v_vec, h_vec = (mk_vh(None) if always_fit
+                                else _lazy_cond_zeros(pred, mk_vh))
             elif vs is not None and hvs is not None:
-                pred = jnp.asarray(True)
+                pred, always_fit = jnp.asarray(True), True
                 v_vec, h_vec = _ravel(vs)[0], _ravel(hvs)[0]
             else:
                 raise ValueError(
@@ -1874,7 +1929,7 @@ def scale_by_dense_newton(
                 _sched(lr_preconditioner, state.count),
                 _sched(betaL, state.count), _sched(damping, state.count),
                 _sched(grad_clip_max_norm, state.count), vector_sharding,
-                momentum, preconditioner_init_scale)
+                momentum, preconditioner_init_scale, always_fit)
             new_state = PSGDState(count=state.count + 1, key=key, mu=mu,
                                   precond=st)
             return unravel(pre[:g_vec.size]), new_state
@@ -1882,17 +1937,20 @@ def scale_by_dense_newton(
         if hvp_fn is not None:
             if params is None:
                 raise ValueError("dense_newton with hvp_fn requires params")
-            pred = jnp.logical_or(
-                jax.random.uniform(k_gate)
-                < _sched(preconditioner_update_probability, state.count),
-                state.count == 0)
 
             def fit_branch(s):
                 vs_ = rand_like_tree(k_v, params)
                 _, hvs_ = hvp_fn(params, vs_)
                 return fit(s, _ravel(vs_)[0], _ravel(hvs_)[0])
 
-            st = jax.lax.cond(pred, fit_branch, lambda s: s, st)
+            if always_fit:
+                st = fit_branch(st)
+            else:
+                pred = jnp.logical_or(
+                    jax.random.uniform(k_gate)
+                    < _sched(preconditioner_update_probability, state.count),
+                    state.count == 0)
+                st = jax.lax.cond(pred, fit_branch, lambda s: s, st)
         elif vs is not None and hvs is not None:
             st = fit(st, _ravel(vs)[0], _ravel(hvs)[0])
         else:
@@ -1915,7 +1973,7 @@ def scale_by_dense_newton(
 
 def _dense_qeq_sharded(g_vec, v_vec, h_vec, st, mu0, count, k_fit, pred,
                        lr_q, beta_l_t, damping_t, max_norm, vector_sharding,
-                       momentum, init_scale):
+                       momentum, init_scale, always_fit=False):
     """One row-sharded dense-QEQ Newton step: pad the concat vectors, keep
     them (and momentum) replicated — they are O(n) — and run the gated fit
     + apply under shard_map with Q's rows sharded (precond/dense.py
@@ -1963,7 +2021,7 @@ def _dense_qeq_sharded(g_vec, v_vec, h_vec, st, mu0, count, k_fit, pred,
                 ql, lp, v, h, k_fit, ax_, n_true, lr=lr_q,
                 beta_l=beta_l_t, damping=damping_t)
 
-        q_loc, lips = jax.lax.cond(pred, fit, lambda a: a, (q_loc, lips))
+        q_loc, lips = _gated_fit(always_fit, pred, fit, (q_loc, lips))
         pg = dense_p.precond_grad_qeq_row_sharded(
             q_loc, src.astype(q_loc.dtype), ax_)
         return q_loc, lips, pg

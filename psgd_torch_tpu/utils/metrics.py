@@ -119,8 +119,10 @@ def psgd_metrics(state: Any, updates: Optional[Any] = None,
 def state_memory_report(state: Any, per_device: bool = False) -> Dict[str, int]:
     """Bytes held by a PSGD optimizer state, grouped by role.
 
-    Returns ``{"q": ..., "lips": ..., "momentum": ..., "other": ...,
-    "total": ...}`` in bytes.  With ``per_device=True`` each leaf is counted
+    Returns ``{"q": ..., "lips": ..., "momentum": ..., "pcache": ...,
+    "other": ..., "total": ...}`` in bytes (``pcache`` is the cache_p
+    cached-P factors — the knob's state cost, ~one extra set of dense
+    factors).  With ``per_device=True`` each leaf is counted
     at its per-device shard size (from ``leaf.sharding``) — the number that
     matters when choosing ``stack_sharding`` / ``factor_sharding`` /
     ``vector_sharding`` layouts: replicated Q reports its full size, a
@@ -130,7 +132,8 @@ def state_memory_report(state: Any, per_device: bool = False) -> Dict[str, int]:
     ``torch.optim`` dicts, SURVEY.md §5 checkpoint note)."""
     import numpy as np
 
-    report = {"q": 0, "lips": 0, "momentum": 0, "other": 0, "total": 0}
+    report = {"q": 0, "lips": 0, "momentum": 0, "pcache": 0, "other": 0,
+              "total": 0}
 
     def nbytes(x) -> int:
         if not hasattr(x, "dtype") or not hasattr(x, "shape"):
@@ -167,6 +170,8 @@ def state_memory_report(state: Any, per_device: bool = False) -> Dict[str, int]:
             add("momentum", st.mu)
             walk_precond(st.precond)
             add("other", (st.count, st.key))
+            if getattr(st, "pcache", None) is not None:
+                add("pcache", st.pcache)  # cache_p: cached P_i factors
         elif isinstance(st, (tuple, list)):
             for s in st:
                 walk(s)

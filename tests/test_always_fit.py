@@ -119,3 +119,60 @@ def test_always_fit_drops_the_fit_cond():
     n_sched = n_conds(popt.kron_whiten(
         preconditioner_update_probability=_const_sched(1.0), **common))
     assert n_lit < n_sched, (n_lit, n_sched)
+
+
+def _tree_close(pa, pb):
+    for la, lb in zip(jax.tree_util.tree_leaves(pa),
+                      jax.tree_util.tree_leaves(pb)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-6, atol=1e-9)
+
+
+def _run_newton(opt, loss_fn, params, n=6):
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        grads = jax.grad(loss_fn)(params)
+        updates, state = opt.update(grads, state, params,
+                                    hvp_fn=popt.make_hvp_fn(loss_fn))
+        return optax.apply_updates(params, updates), state
+
+    for _ in range(n):
+        params, state = step(params, state)
+    return params
+
+
+@pytest.mark.parametrize("family", ["kron_newton", "lra_newton",
+                                    "dense_newton"])
+def test_always_fit_newton_families_match_cond_path(family):
+    loss_fn, params = _problem()
+    make = getattr(popt, family)
+    kw = dict(learning_rate=0.05, preconditioner_init_scale=1.0)
+    a = make(preconditioner_update_probability=1.0, **kw)
+    b = make(preconditioner_update_probability=_const_sched(1.0), **kw)
+    _tree_close(_run_newton(a, loss_fn, params),
+                _run_newton(b, loss_fn, params))
+
+
+def test_always_fit_lra_whiten_matches_cond_path():
+    loss_fn, params = _problem()
+    kw = dict(learning_rate=0.05, momentum=0.9, whiten_grad=False,
+              preconditioner_init_scale=1.0)
+    a = popt.lra_whiten(preconditioner_update_probability=1.0, **kw)
+    b = popt.lra_whiten(preconditioner_update_probability=_const_sched(1.0),
+                        **kw)
+    _tree_close(_run(a, loss_fn, params), _run(b, loss_fn, params))
+
+
+def test_always_fit_lra_whiten_sharded_matches_cond_path():
+    from jax.sharding import Mesh
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("z",))
+    loss_fn, params = _problem()
+    kw = dict(learning_rate=0.05, momentum=0.9, whiten_grad=False,
+              preconditioner_init_scale=1.0, vector_sharding=(mesh, "z"))
+    a = popt.lra_whiten(preconditioner_update_probability=1.0, **kw)
+    b = popt.lra_whiten(preconditioner_update_probability=_const_sched(1.0),
+                        **kw)
+    _tree_close(_run(a, loss_fn, params), _run(b, loss_fn, params))
