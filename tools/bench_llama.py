@@ -23,6 +23,11 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".cache", "jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -108,41 +113,6 @@ def main():
             preconditioner_dtype=pdt, momentum_dtype=pdt,
             norm_k=nk, weight_decay=0.01, scanned_layers=mask)
 
-    opt01, opt1 = psgd_opt(0.1), psgd_opt(1.0)
-
-    def args_of(opt):
-        def make():
-            p = llama.init_llama(key, cfg)
-            return (p, opt.init(p))
-        return make
-
-    t01, l01 = time_chained(make_one_step_bf16_grads(opt01, loss_fn),
-                            args_of(opt01), tokens, targets)
-    log(f"psgd step (p=0.1): {t01*1e3:.2f} ms (loss {l01:.3f})")
-    t1, l1 = time_chained(make_one_step_bf16_grads(opt1, loss_fn),
-                          args_of(opt1), tokens, targets, k=8)
-    log(f"psgd step (p=1.0): {t1*1e3:.2f} ms (loss {l1:.3f})")
-
-    adamw_ms = None
-    adamw_err = None
-    adamw = optax.adamw(1e-3, b1=0.9, b2=0.95, weight_decay=0.01)
-    try:
-        import functools
-
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def adamw_step(p, s, x, y):
-            loss, g = jax.value_and_grad(loss_fn)(p, x, y)
-            u, s = adamw.update(g, s, p)
-            return optax.apply_updates(p, u), s, loss
-
-        ta, la = time_chained(adamw_step, args_of(adamw), tokens, targets,
-                              k=8)
-        adamw_ms = round(ta * 1e3, 2)
-        log(f"adamw step: {ta*1e3:.2f} ms (loss {la:.3f})")
-    except Exception as e:
-        adamw_err = f"{type(e).__name__}: {str(e)[:300]}"
-        log(f"adamw single-step failed: {adamw_err}")
-
     # isolated Q-update + Pg-apply: a donated single-update program chained
     # k times (the fori_loop slope method of bench.py double-buffers its
     # carries, which does not fit at 1.1B); slope between two chain lengths
@@ -155,12 +125,21 @@ def main():
                                    preconditioner_init_scale=1.0,
                                    preconditioner_dtype=pdt, norm_k=nk,
                                    scanned_layers=mask)
-    grads = jax.jit(jax.grad(loss_fn))(params, tokens, targets)
-    if on_tpu:  # bf16 grads, the wrapper protocol (ddp:124-127)
-        grads = jax.tree_util.tree_map(lambda g: g.astype(jnp.bfloat16),
-                                       grads)
-        params = jax.jit(lambda p: jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16), p))(params)
+
+    # one donated program: grads + the bf16 casts (wrapper protocol,
+    # ddp:124-127).  Donating the f32 params halves the resident footprint
+    # vs a bare jax.grad — at 1.1B the non-donated version OOMs a 16 GB
+    # chip (4.4 GB params + 4.4 GB grads + bwd temps)
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def grads_and_cast(p, x, y):
+        g = jax.grad(loss_fn)(p, x, y)
+        if on_tpu:
+            g = jax.tree_util.tree_map(lambda t: t.astype(jnp.bfloat16), g)
+            p = jax.tree_util.tree_map(lambda t: t.astype(jnp.bfloat16), p)
+        return p, g
+
+    params, grads = grads_and_cast(params, tokens, targets)
+    jax.block_until_ready(grads)
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def one_update(p, g, s):
@@ -205,6 +184,43 @@ def main():
             log(f"Q-update MFU: {100*q_mfu:.1f}% ({flops/1e9:.1f} GFLOP/step)")
     except Exception as e:
         log(f"MFU estimate unavailable: {e}")
+
+    opt01, opt1 = psgd_opt(0.1), psgd_opt(1.0)
+
+    def args_of(opt):
+        def make():
+            p = llama.init_llama(key, cfg)
+            return (p, opt.init(p))
+        return make
+
+    t01, l01 = time_chained(make_one_step_bf16_grads(opt01, loss_fn),
+                            args_of(opt01), tokens, targets)
+    log(f"psgd step (p=0.1): {t01*1e3:.2f} ms (loss {l01:.3f})")
+    t1, l1 = time_chained(make_one_step_bf16_grads(opt1, loss_fn),
+                          args_of(opt1), tokens, targets, k=8)
+    log(f"psgd step (p=1.0): {t1*1e3:.2f} ms (loss {l1:.3f})")
+
+    adamw_ms = None
+    adamw_err = None
+    adamw = optax.adamw(1e-3, b1=0.9, b2=0.95, weight_decay=0.01)
+    try:
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def adamw_step(p, s, x, y):
+            loss, g = jax.value_and_grad(loss_fn)(p, x, y)
+            u, s = adamw.update(g, s, p)
+            return optax.apply_updates(p, u), s, loss
+
+        ta, la = time_chained(adamw_step, args_of(adamw), tokens, targets,
+                              k=8)
+        adamw_ms = round(ta * 1e3, 2)
+        log(f"adamw step: {ta*1e3:.2f} ms (loss {la:.3f})")
+    except Exception as e:
+        adamw_err = f"{type(e).__name__}: {str(e)[:300]}"
+        log(f"adamw single-step failed: {adamw_err}")
+    import gc
+    gc.collect()  # drop any arrays pinned by the exception traceback
 
     result = {
         "metric": "llama_1b_single_chip",
