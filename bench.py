@@ -180,49 +180,42 @@ def main(medium: bool = False):
     # exprP chain per fit step — the interesting operating point is p=1.0
     # (every step fits; early training in the reference's annealed recipe)
     opt01, opt1 = psgd_opt(0.1), psgd_opt(1.0)
-    opt1s = psgd_opt(1.0, share_fit_apply=True,
-                     update_preconditioner_first=False)
-    # pipelined_fit: the Q fit reads only the previous step's momentum, so
-    # XLA overlaps it with the model's forward/backward — the fit's cost
-    # should largely vanish from the p=1.0 step time
-    opt1p = psgd_opt(1.0, pipelined_fit=True)
-    # cache_p: P_i = Q_i^H Q_i cached after each fit — the apply on the ~90%
-    # non-fit steps at p=0.1 is a single factor pass (no Q_i^H Q_i recompute)
-    opt01c = psgd_opt(0.1, cache_p=True)
-    # share_fit_apply at the production operating point: the 10% of steps
-    # that fit skip their separate exprP apply
-    opt01s = psgd_opt(0.1, share_fit_apply=True,
-                      update_preconditioner_first=False)
-    (t_adamw, t_psgd01, t_psgd1, t_psgd1s, t_psgd1p, t_psgd01c, t_psgd01s), \
-        (l_adamw, l_psgd01, l_psgd1, l_psgd1s, l_psgd1p, l_psgd01c,
-         l_psgd01s) = \
-        time_interleaved([
-            (make_n_step(adamw, loss_fn),
-             (params, adamw.init(params), tokens, targets)),
-            (make_n_step(opt01, loss_fn),
-             (params, opt01.init(params), tokens, targets)),
-            (make_n_step(opt1, loss_fn),
-             (params, opt1.init(params), tokens, targets)),
-            (make_n_step(opt1s, loss_fn),
-             (params, opt1s.init(params), tokens, targets)),
-            (make_n_step(opt1p, loss_fn),
-             (params, opt1p.init(params), tokens, targets)),
-            (make_n_step(opt01c, loss_fn),
-             (params, opt01c.init(params), tokens, targets)),
-            (make_n_step(opt01s, loss_fn),
-             (params, opt01s.init(params), tokens, targets)),
-        ])
-    log(f"adamw step: {t_adamw*1e3:.2f} ms (loss {l_adamw:.3f})")
-    log(f"psgd step (p=0.1): {t_psgd01*1e3:.2f} ms (loss {l_psgd01:.3f})")
-    log(f"psgd step (p=1.0): {t_psgd1*1e3:.2f} ms (loss {l_psgd1:.3f})")
-    log(f"psgd step (p=1.0, share_fit_apply): {t_psgd1s*1e3:.2f} ms "
-        f"(loss {l_psgd1s:.3f})")
-    log(f"psgd step (p=1.0, pipelined_fit): {t_psgd1p*1e3:.2f} ms "
-        f"(loss {l_psgd1p:.3f})")
-    log(f"psgd step (p=0.1, cache_p): {t_psgd01c*1e3:.2f} ms "
-        f"(loss {l_psgd01c:.3f})")
-    log(f"psgd step (p=0.1, share_fit_apply): {t_psgd01s*1e3:.2f} ms "
-        f"(loss {l_psgd01s:.3f})")
+    arms = [
+        ("adamw", adamw),
+        ("psgd_p0.1", opt01),
+        ("psgd_p1.0", opt1),
+    ]
+    if medium:
+        # 350M: the production-asymptote datapoint (p = 0.01, the
+        # reference's end-of-anneal operating point, misc/gpt2.py:440);
+        # the 124M-specific variant arms are dropped for HBM headroom
+        arms.append(("psgd_p0.01", psgd_opt(0.01)))
+    else:
+        arms += [
+            # share_fit_apply reuses the fit's P·m product as the update,
+            # saving one exprP chain per fit step — interesting at p=1.0
+            # (every step fits) and at the production point
+            ("psgd_p1.0_shared", psgd_opt(1.0, share_fit_apply=True,
+                                          update_preconditioner_first=False)),
+            # pipelined_fit: the Q fit reads only the previous step's
+            # momentum, so XLA may overlap it with forward/backward
+            ("psgd_p1.0_pipelined", psgd_opt(1.0, pipelined_fit=True)),
+            # cache_p: P_i = Q_i^H Q_i cached after each fit — the apply on
+            # the ~90% non-fit steps at p=0.1 is a single factor pass
+            ("psgd_p0.1_cached", psgd_opt(0.1, cache_p=True)),
+            ("psgd_p0.1_shared", psgd_opt(0.1, share_fit_apply=True,
+                                          update_preconditioner_first=False)),
+        ]
+    times, losses = time_interleaved([
+        (make_n_step(opt, loss_fn),
+         (params, opt.init(params), tokens, targets))
+        for _, opt in arms])
+    t_of = dict(zip([n for n, _ in arms], times))
+    l_of = dict(zip([n for n, _ in arms], losses))
+    for name, _ in arms:
+        log(f"{name} step: {t_of[name]*1e3:.2f} ms (loss {l_of[name]:.3f})")
+    t_adamw, t_psgd01, t_psgd1 = (t_of["adamw"], t_of["psgd_p0.1"],
+                                  t_of["psgd_p1.0"])
 
     # --- isolated Q-update + Pg-apply (the primary kernel metric).
     # The loop body mirrors a real optimizer step: update + apply to a
@@ -266,9 +259,10 @@ def main(medium: bool = False):
 
     # --- second datapoint: GPT-2 large proportions (n_embd = 1280, dense
     # factors above the r2 kernel envelope of 1024) — shows the headline
-    # Q-update MFU survives model growth (VERDICT r2 item 2)
+    # Q-update MFU survives model growth (VERDICT r2 item 2; measured in
+    # the medium run too since r5 — VERDICT r4 next #6)
     wide = None
-    if on_tpu and not medium:
+    if on_tpu:
         cfg_w = gpt2.tiny_config(n_layer=4, n_head=20, n_embd=1280,
                                  block_size=256, vocab_size=50304,
                                  compute_dtype=jnp.bfloat16)
@@ -363,17 +357,10 @@ def main(medium: bool = False):
             "params_m": round(n_params / 1e6, 1),
             "batch": batch, "seq": seq, "remat": remat,
             "adamw_ms": round(t_adamw * 1e3, 2),
-            "psgd_p0.1_ms": round(t_psgd01 * 1e3, 2),
-            "psgd_p1.0_ms": round(t_psgd1 * 1e3, 2),
-            "psgd_p1.0_ratio": round(t_psgd1 / t_adamw, 4),
-            "psgd_p1.0_shared_ms": round(t_psgd1s * 1e3, 2),
-            "psgd_p1.0_shared_ratio": round(t_psgd1s / t_adamw, 4),
-            "psgd_p1.0_pipelined_ms": round(t_psgd1p * 1e3, 2),
-            "psgd_p1.0_pipelined_ratio": round(t_psgd1p / t_adamw, 4),
-            "psgd_p0.1_cached_ms": round(t_psgd01c * 1e3, 2),
-            "psgd_p0.1_cached_ratio": round(t_psgd01c / t_adamw, 4),
-            "psgd_p0.1_shared_ms": round(t_psgd01s * 1e3, 2),
-            "psgd_p0.1_shared_ratio": round(t_psgd01s / t_adamw, 4),
+            **{f"{name}_ms": round(t_of[name] * 1e3, 2)
+               for name, _ in arms if name != "adamw"},
+            **{f"{name}_ratio": round(t_of[name] / t_adamw, 4)
+               for name, _ in arms if name not in ("adamw", "psgd_p0.1")},
             "q_update_apply_us": round(t_q * 1e6),
             "q_update_mfu": None if q_mfu is None else round(q_mfu, 4),
             "q_update_gflop_per_step": (

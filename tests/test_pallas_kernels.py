@@ -271,3 +271,46 @@ def test_unit_noise_kernel():
     assert abs(float(b32.var()) - 1.0) < 0.02
     # per-row-block distinctness across the blocked grid
     assert bool(jnp.any(big[0, :8] != big[0, 40000:40008]))
+
+
+@pytest.mark.parametrize("n,path", [(1536, "split"), (2048, "tiled")])
+def test_f32_wide_paths_match_xla(n, path):
+    """The f32 dispatch above the monolith (probed per width on v5e:
+    monolith <= 1280, split <= 1536, tiled above) must agree with the XLA
+    path.  f32 1536 used to route to the monolith, whose f32 working set
+    does not compile at that width — this pins the corrected routing."""
+    from psgd_torch_tpu.ops.pallas_kernels import (
+        fused_ns_update, ns_update_supported, _NS_SINGLE_MAX_F32,
+        _NS_SPLIT_MAX_F32)
+    from psgd_torch_tpu.ops.linalg import norm_lower_bound_spd, procrustes_step2
+
+    assert n > _NS_SINGLE_MAX_F32 and ns_update_supported(n, jnp.float32)
+    if path == "split":
+        assert n <= _NS_SPLIT_MAX_F32
+    else:
+        assert n > _NS_SPLIT_MAX_F32
+    B = 2
+    key = jax.random.key(n)
+    a = jax.random.normal(key, (B, n, n), jnp.float32) / n ** 0.5
+    term1 = jnp.einsum("bij,bkj->bik", a, a) + 0.5 * jnp.eye(n)
+    q = jnp.eye(n) * 0.7 + 0.02 * jax.random.normal(
+        jax.random.key(1), (B, n, n))
+    lips = jnp.zeros((B,), jnp.float32)
+    term2 = jnp.full((B,), 3.0, jnp.float32)
+    seed = jnp.stack([jnp.arange(B, dtype=jnp.int32),
+                      jnp.arange(B, dtype=jnp.int32) + 11], -1)
+    qp, lp = jax.jit(lambda *x: fused_ns_update(*x, 0.1, 0.9, k=32))(
+        term1, q, lips, term2, seed)
+
+    def one(t1, qq, l, k):
+        ell = norm_lower_bound_spd(t1, k, k=32) + 3.0
+        l2 = jnp.maximum(0.9 * l + 0.1 * ell, ell)
+        q1 = qq - (0.1 / l2) * (t1 @ qq - 3.0 * qq)
+        return procrustes_step2(q1, jax.random.fold_in(k, 1),
+                                norm_k=32), l2
+
+    qx, lx = jax.jit(jax.vmap(one))(
+        term1, q, lips, jax.random.split(jax.random.key(7), B))
+    rel = float(jnp.max(jnp.abs(qp - qx)) / jnp.max(jnp.abs(qx)))
+    assert rel < 5e-3, rel
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lx), rtol=0.06)
