@@ -301,7 +301,7 @@ def _stacked_specs(st: "kron_p.KronState", axis):
 def _fit_apply_kron_leaf_layer_sharded(
         st, plan, key, mesh, axis, do_update, fit_src, apply_src,
         out_dtype, clip_amps=None, fit_first=True, share=False,
-        pcache=None, always_fit=False, **fit_kw):
+        pcache=None, always_fit=False, always_select=False, **fit_kw):
     """Fit (gated on do_update) + apply (+ optional per-layer clip) for one
     stacked leaf, shard_mapped over the layer axis: each device runs the
     vmapped update for exactly n_layer/k layers — compute scales 1/k by
@@ -352,11 +352,20 @@ def _fit_apply_kron_leaf_layer_sharded(
             return jax.vmap(lambda x, gg: kron_p.precond_grad(x, plan, gg))(
                 s, shaped)
 
+        def sel(a, b):
+            # always_fit with a residual dynamic gate (pipelined_fit's
+            # count>0): fit unconditionally, discard by select — cond-free
+            if not always_select:
+                return a
+            return jax.tree_util.tree_map(
+                lambda x, y: jnp.where(do_update, x, y), a, b)
+
         pc_new = None
         if share and not newton:
             # fit and apply sources coincide (validated by the transform):
             # reuse the fit's internal Pg on fit steps, apply with the
-            # pre-update Q otherwise — one exprP chain either way.
+            # pre-update Q otherwise — one exprP chain either way.  share
+            # excludes pipelined_fit, so always_fit means a static gate.
             if cached:
                 def fit_branch(s):
                     ns, pg = fit(s, return_pg=True)
@@ -375,8 +384,9 @@ def _fit_apply_kron_leaf_layer_sharded(
                     lambda s: (s, apply(s)), st_loc)
         elif cached:
             if always_fit:
-                st_new = fit(st_loc)
-                pc_new = refresh(st_new)
+                fitted = fit(st_loc)
+                st_new = sel(fitted, st_loc)
+                pc_new = sel(refresh(fitted), pc_loc)
             else:
                 st_new, pc_new = jax.lax.cond(
                     do_update,
@@ -384,7 +394,10 @@ def _fit_apply_kron_leaf_layer_sharded(
                     lambda s: (s, pc_loc), st_loc)
             pg = apply(None, pc_new if fit_first else pc_loc)
         else:
-            st_new = _gated_fit(always_fit, do_update, fit, st_loc)
+            if always_fit:
+                st_new = sel(fit(st_loc), st_loc)
+            else:
+                st_new = jax.lax.cond(do_update, fit, lambda s: s, st_loc)
             st_used = st_new if fit_first else st_loc
             pg = apply(st_used)
         pg = pg.astype(out_dtype)
@@ -461,7 +474,7 @@ def _dim_sharded_state_specs(plan, eff_axes):
 def _fit_apply_kron_leaf_dim_sharded(
         st, plan, key, mesh, dim_axes, do_update, fit_src, apply_src,
         out_dtype, clip_amps, fit_first=True, mode="whiten", share=False,
-        pcache=None, **fit_kw):
+        pcache=None, always_fit=False, always_select=False, **fit_kw):
     """Fit + apply for a dim-sharded non-stacked leaf under shard_map: one
     GLOBAL preconditioner, local contractions + psum, with mesh axes on
     dense dims re-sharded onto a diag dim by all_to_all (see
@@ -495,7 +508,8 @@ def _fit_apply_kron_leaf_dim_sharded(
             res = kron_p.update_kron_newton_dim_sharded(
                 st_loc, plan, v_loc, h_loc, key, dim_axes, rplan, apply_loc,
                 do_update, fit_first=fit_first,
-                pcache=pc_loc if cached else None, **fit_kw)
+                pcache=pc_loc if cached else None,
+                always_fit=always_fit, **fit_kw)
             return res[:-1] + (res[-1].astype(out_dtype),)
 
         v_src, h_src = fit_src
@@ -519,7 +533,8 @@ def _fit_apply_kron_leaf_dim_sharded(
         res = kron_p.update_kron_whiten_dim_sharded(
             st_loc, plan, fit_loc, key, dim_axes, rplan, apply_loc,
             do_update, fit_first=fit_first, share=share,
-            pcache=pc_loc if cached else None, **fit_kw)
+            pcache=pc_loc if cached else None,
+            always_fit=always_fit, always_select=always_select, **fit_kw)
         pg = _sharded_amp_clip(res[-1].astype(out_dtype), clip_amps,
                                all_axes, plan.numel)
         return res[:-1] + (pg,)
@@ -844,9 +859,7 @@ def scale_by_kron_whiten(
         # schedule: tools/pipelined_fit_overlap.py).  Under pipelined_fit
         # the remaining count>0 gate becomes a cheap select on the fitted
         # state (step 0's dead fit on the zeros buffer is discarded).
-        always_fit = (isinstance(preconditioner_update_probability,
-                                 (int, float))
-                      and float(preconditioner_update_probability) >= 1.0)
+        always_fit = _static_always(preconditioner_update_probability)
 
         if pipelined_fit:
             # fit on the PRE-update momentum: the fit subgraph reads only
@@ -1057,6 +1070,7 @@ def scale_by_kron_whiten(
                     fit_first=update_preconditioner_first,
                     share=share_fit_apply,
                     pcache=pcache_t[i] if cache_p else None,
+                    always_fit=always_fit, always_select=pipelined_fit,
                     lr=lr_q, beta_l=beta_l_t, damping=damping_t,
                     norm_k=resolve_norm_k(norm_k, qdt))
                 if cache_p:
@@ -1086,6 +1100,7 @@ def scale_by_kron_whiten(
                     fit_first=update_preconditioner_first,
                     share=share_fit_apply,
                     pcache=pcache_t[i] if cache_p else None,
+                    always_fit=always_fit, always_select=pipelined_fit,
                     lr=lr_q, beta_l=beta_l_t, damping=damping_t,
                     norm_k=resolve_norm_k(norm_k, qdt))
                 if cache_p:
@@ -1256,9 +1271,7 @@ def scale_by_kron_newton(
         # static gate (see `always_fit` in kron_whiten): a LITERAL update
         # probability >= 1.0 (or an explicit (vs, hvs) pair, which fits
         # unconditionally by contract) drops the lax.cond around the fit
-        always_fit = (isinstance(preconditioner_update_probability,
-                                 (int, float))
-                      and float(preconditioner_update_probability) >= 1.0)
+        always_fit = _static_always(preconditioner_update_probability)
         if hvp_fn is not None:
             if params is None:
                 raise ValueError("kron_newton with hvp_fn requires params")
@@ -1366,6 +1379,7 @@ def scale_by_kron_newton(
                     st, plan, jax.random.fold_in(k_fit, i), mesh_, axis_,
                     pred, (v.astype(qdt), h.astype(qdt)), src.astype(qdt),
                     g.dtype, pcache=pcache_t[i] if cache_p else None,
+                    always_fit=always_fit,
                     lr=lr_q, beta_l=beta_l_t, damping=damping_t,
                     norm_k=resolve_norm_k(norm_k, qdt))
                 if cache_p:
@@ -1393,6 +1407,7 @@ def scale_by_kron_newton(
                     pred, (v.astype(qdt), h.astype(qdt)), src.astype(qdt),
                     g.dtype, None, mode="newton",
                     pcache=pcache_t[i] if cache_p else None,
+                    always_fit=always_fit,
                     lr=lr_q, beta_l=beta_l_t, damping=damping_t,
                     norm_k=resolve_norm_k(norm_k, qdt))
                 if cache_p:

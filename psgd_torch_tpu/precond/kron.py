@@ -1000,7 +1000,8 @@ def update_kron_whiten_dim_sharded(
         dim_axes, reshard_plan, apply_src: jax.Array, do_update,
         lr: float = 0.1, beta_l: float = 0.9, damping: float = 1e-9,
         norm_k: int = 32, fit_first: bool = True, share: bool = False,
-        pcache=None):
+        pcache=None, always_fit: bool = False,
+        always_select: bool = False):
     """Whiten-fit + apply for a dim-sharded leaf, executed INSIDE shard_map.
 
     Args:
@@ -1026,7 +1027,8 @@ def update_kron_whiten_dim_sharded(
     """
     return _update_kron_dim_sharded(
         state, plan, g, key, dim_axes, reshard_plan, apply_src, do_update,
-        "whiten", lr, beta_l, damping, norm_k, fit_first, share, pcache)
+        "whiten", lr, beta_l, damping, norm_k, fit_first, share, pcache,
+        always_fit=always_fit, always_select=always_select)
 
 
 def update_kron_newton_dim_sharded(
@@ -1034,7 +1036,7 @@ def update_kron_newton_dim_sharded(
         key: jax.Array, dim_axes, reshard_plan, apply_src: jax.Array,
         do_update, lr: float = 0.1, beta_l: float = 0.9,
         damping: float = 1e-9, norm_k: int = 32, fit_first: bool = True,
-        pcache=None):
+        pcache=None, always_fit: bool = False):
     """Newton-mode dim-sharded fit + apply: same collective structure as the
     whiten variant, with term2 the (v v^H) contraction psum'd like term1
     (reference update_precond_kron_newton_q0p5eq1p5, psgd.py:594-616).
@@ -1042,13 +1044,14 @@ def update_kron_newton_dim_sharded(
     return _update_kron_dim_sharded(
         state, plan, (v, h), key, dim_axes, reshard_plan, apply_src,
         do_update, "newton", lr, beta_l, damping, norm_k, fit_first,
-        pcache=pcache)
+        pcache=pcache, always_fit=always_fit)
 
 
 def _update_kron_dim_sharded(
         state, plan, fit_src, key, dim_axes, reshard_plan, apply_src,
         do_update, mode, lr, beta_l, damping, norm_k, fit_first,
-        share: bool = False, pcache=None):
+        share: bool = False, pcache=None, always_fit: bool = False,
+        always_select: bool = False):
     if plan.dq not in DIM_SHARDABLE_DQS:
         raise NotImplementedError(
             "dim-sharded update supports Q0.5EQ1.5, QUAD and QEQ")
@@ -1204,12 +1207,25 @@ def _update_kron_dim_sharded(
 
     cached = pcache is not None
     pc_new = None
+
+    def _sel(a, b):
+        # always_fit with a residual dynamic gate (pipelined_fit's count>0):
+        # fit unconditionally, discard by select — cond-free, schedulable
+        if not always_select:
+            return a
+        return jax.tree_util.tree_map(
+            lambda x, y: jnp.where(do_update, x, y), a, b)
+
     if share and mode == "whiten":
         # fit and apply sources coincide (validated by the transform, which
         # also forces fit_first=False): the fit's P(src + damping*v) — in
         # the compute layout, pre-update Q — IS the apply product, so fit
         # steps skip the separate exprP chain.
-        if cached:
+        if always_fit:  # share excludes pipelined: gate statically true
+            st_new, pg_out = fit_core(state)
+            if cached:
+                pc_new = compute_p_factors(st_new, plan)
+        elif cached:
             def fit_branch(s):
                 ns, pg = fit_core(s)
                 return ns, compute_p_factors(ns, plan), pg
@@ -1222,16 +1238,24 @@ def _update_kron_dim_sharded(
     elif cached:
         # refresh the cache (factor-local: dense q^H q, diag |q|^2) inside
         # the gated fit; apply through the cache either way
-        st_new, pc_new = jax.lax.cond(
-            do_update,
-            lambda s: (lambda ns: (ns, compute_p_factors(ns, plan)))(
-                fit_core(s)[0]),
-            lambda s: (s, pcache), state)
+        if always_fit:
+            fitted = fit_core(state)[0]
+            st_new = _sel(fitted, state)
+            pc_new = _sel(compute_p_factors(fitted, plan), pcache)
+        else:
+            st_new, pc_new = jax.lax.cond(
+                do_update,
+                lambda s: (lambda ns: (ns, compute_p_factors(ns, plan)))(
+                    fit_core(s)[0]),
+                lambda s: (s, pcache), state)
         pg_out = _apply(None, pc_new if fit_first else pcache)
     else:
         # drop the fit's internal pg inside the branch (DCE'd by XLA)
-        st_new = jax.lax.cond(do_update, lambda s: fit_core(s)[0],
-                              lambda s: s, state)
+        if always_fit:
+            st_new = _sel(fit_core(state)[0], state)
+        else:
+            st_new = jax.lax.cond(do_update, lambda s: fit_core(s)[0],
+                                  lambda s: s, state)
         st_used = st_new if fit_first else state
         pg_out = _apply(st_used)
 

@@ -19,7 +19,7 @@ import pytest
 
 import psgd_torch_tpu.optim as popt
 
-pytestmark = pytest.mark.smoke  # <2-min curated tier
+pytestmark = pytest.mark.smoke  # quick tier (<2 min warm cache)
 
 
 def _problem(key=3):
@@ -79,11 +79,12 @@ def test_always_fit_matches_cond_path(kwargs):
 
 
 @pytest.mark.parametrize("cache_p", [False, True])
-def test_always_fit_pipelined_matches_cond_path(cache_p):
+@pytest.mark.parametrize("biased", [False, True])
+def test_always_fit_pipelined_matches_cond_path(cache_p, biased):
     loss_fn, params = _problem()
     common = dict(learning_rate=0.1, momentum=0.9, whiten_grad=False,
                   preconditioner_init_scale=1.0, pipelined_fit=True,
-                  cache_p=cache_p)
+                  cache_p=cache_p, update_preconditioner_first=biased)
     a = popt.kron_whiten(preconditioner_update_probability=1.0, **common)
     b = popt.kron_whiten(preconditioner_update_probability=_const_sched(1.0),
                          **common)
@@ -176,3 +177,54 @@ def test_always_fit_lra_whiten_sharded_matches_cond_path():
     b = popt.lra_whiten(preconditioner_update_probability=_const_sched(1.0),
                         **kw)
     _tree_close(_run(a, loss_fn, params), _run(b, loss_fn, params))
+
+
+@pytest.mark.parametrize("pipelined", [False, True])
+def test_always_fit_stack_sharded_matches_cond_path(pipelined):
+    """The routed (layer-sharded shard_map) path must also drop its cond at
+    a literal p=1.0 and, under pipelined_fit, discard step 0's dead fit by
+    select — pinned against the schedule-1.0 cond route on a 4-device
+    mesh."""
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as PS
+    from psgd_torch_tpu.parallel import psgd_state_specs
+
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("fsdp",))
+    wstar = jax.random.normal(jax.random.key(5), (4, 12, 6))
+
+    def loss_fn(p):
+        d = p["blocks"] - wstar
+        return 0.5 * jnp.sum(d * d)
+
+    params = {"blocks": jnp.zeros((4, 12, 6))}
+    mask = {"blocks": True}
+    p_specs = {"blocks": PS()}
+
+    def run(prob):
+        opt = popt.kron_whiten(
+            learning_rate=0.1, momentum=0.9, whiten_grad=False,
+            preconditioner_init_scale=1.0, scanned_layers=mask,
+            pipelined_fit=pipelined, stack_sharding=(mesh, "fsdp"),
+            preconditioner_update_probability=prob)
+        state = opt.init(params)
+        s_specs = psgd_state_specs(p_specs, state, scanned_layers=mask,
+                                   stack_axis="fsdp")
+        state = jax.device_put(
+            state, jax.tree_util.tree_map(
+                lambda sp: NamedSharding(mesh, sp), s_specs,
+                is_leaf=lambda x: isinstance(x, PS)))
+        p = jax.device_put(params, NamedSharding(mesh, PS()))
+
+        @jax.jit
+        def step(p, s):
+            g = jax.grad(loss_fn)(p)
+            u, s = opt.update(g, s, p)
+            return optax.apply_updates(p, u), s
+
+        with mesh:
+            for _ in range(5):
+                p, state = step(p, state)
+        return p
+
+    _tree_close(run(1.0), run(_const_sched(1.0)))

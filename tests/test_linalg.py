@@ -8,7 +8,7 @@ import pytest
 
 from psgd_torch_tpu.ops import linalg
 
-pytestmark = pytest.mark.smoke  # <2-min curated tier
+pytestmark = pytest.mark.smoke  # quick tier (<2 min warm cache)
 
 
 def _rand_spd(key, n, dtype=jnp.float64):
