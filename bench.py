@@ -382,7 +382,8 @@ def main(medium: bool = False):
 
 
 def convergence(n_steps: int = 1000, data_seed: int = 1,
-                anneal: bool = False, sweep: bool = False):
+                anneal: bool = False, sweep: bool = False,
+                only_arm: str = None, merge_only: bool = False):
     """`python bench.py --convergence [steps]`: train GPT-2 with AdamW and
     PSGD-Kron at the reference's matched settings (misc/gpt2.py:400-413;
     PSGD lr = Adam lr / sqrt((1+beta)/(1-beta)) = 1e-3/4) on the committed
@@ -476,23 +477,60 @@ def convergence(n_steps: int = 1000, data_seed: int = 1,
             scanned_layers=mask)
 
     if sweep:
-        adamw_arms = []
+        # the 6 arms leak ~15-20 GB of host memory each through the axon
+        # client, so a single process running all of them gets OOM-killed:
+        # --arm=<name> runs ONE arm (its own process) and saves a partial
+        # under results/_sweep_arms/; --merge assembles the artifact once
+        # all six partials exist.  `tools/run_convergence_sweep.sh` drives
+        # the whole protocol.
+        arm_defs = []
         for lr in (1e-3, 3e-4):
             for cosine in (False, True):
-                name = f"adamw_lr{lr:g}_{'cosine' if cosine else 'fixed'}"
-                opt = optax.adamw(lr_of(lr, cosine), b1=0.9, b2=0.95,
-                                  weight_decay=0.01)
-                l, v, c, w = run(opt)
-                log(f"{name}: train {l:.4f}  val {v:.4f}  wall {w:.1f}s")
-                adamw_arms.append(dict(name=name, lr=lr, cosine=cosine,
-                                       train=l, val=v, curve=c, wall=w))
-        psgd_arms = []
+                arm_defs.append((
+                    f"adamw_lr{lr:g}_{'cosine' if cosine else 'fixed'}",
+                    "adamw", dict(lr=lr, cosine=cosine)))
         for cosine in (False, True):
-            name = f"psgd_lr{1e-3/4:g}_{'cosine' if cosine else 'fixed'}"
-            l, v, c, w = run(make_psgd(lr_of(1e-3 / 4, cosine)))
-            log(f"{name}: train {l:.4f}  val {v:.4f}  wall {w:.1f}s")
-            psgd_arms.append(dict(name=name, cosine=cosine, train=l, val=v,
-                                  curve=c, wall=w))
+            arm_defs.append((
+                f"psgd_lr{1e-3/4:g}_{'cosine' if cosine else 'fixed'}",
+                "psgd", dict(cosine=cosine)))
+
+        def build(kind, meta):
+            if kind == "adamw":
+                return optax.adamw(lr_of(meta["lr"], meta["cosine"]),
+                                   b1=0.9, b2=0.95, weight_decay=0.01)
+            return make_psgd(lr_of(1e-3 / 4, meta["cosine"]))
+
+        arm_dir = pathlib.Path(__file__).parent / "results" / "_sweep_arms"
+        arm_dir.mkdir(parents=True, exist_ok=True)
+
+        def arm_path(name):
+            return arm_dir / f"{name}_s{n_steps}_seed{data_seed}.json"
+
+        adamw_arms, psgd_arms = [], []
+        for name, kind, meta in arm_defs:
+            if only_arm is not None and name != only_arm:
+                continue
+            if merge_only or (only_arm is None and arm_path(name).exists()):
+                rec = json.loads(arm_path(name).read_text())
+            else:
+                l, v, c, w = run(build(kind, meta))
+                log(f"{name}: train {l:.4f}  val {v:.4f}  wall {w:.1f}s")
+                rec = dict(name=name, kind=kind, train=l, val=v, curve=c,
+                           wall=w, **meta)
+                arm_path(name).write_text(json.dumps(rec))
+                log(f"saved arm partial: {arm_path(name)}")
+            (adamw_arms if kind == "adamw" else psgd_arms).append(rec)
+        if only_arm is not None:
+            return  # single-arm process: partial saved, merge comes later
+        if not adamw_arms or not psgd_arms:
+            raise SystemExit(
+                f"sweep merge needs at least one adamw and one psgd arm "
+                f"partial in {arm_dir} "
+                f"(have {len(adamw_arms)} adamw + {len(psgd_arms)} psgd)")
+        if len(adamw_arms) + len(psgd_arms) < 6:
+            log(f"sweep merge: only {len(adamw_arms)} adamw + "
+                f"{len(psgd_arms)} psgd arms available — the best-of-N "
+                f"counts in the artifact reflect what actually ran")
         best_adamw = min(adamw_arms, key=lambda a: a["val"])
         best_psgd = min(psgd_arms, key=lambda a: a["val"])
         log(f"best adamw arm: {best_adamw['name']}  "
@@ -557,9 +595,10 @@ def convergence(n_steps: int = 1000, data_seed: int = 1,
             "run at update probability ~1 and are up to ~4% slower")
     if sweep:
         result["detail"]["protocol"] = (
-            "PSGD (best of fixed/cosine lr arms at the reference-scaled "
-            "1e-3/4) vs BEST-of-4 AdamW arm (lr {3e-4, 1e-3} x "
-            "{fixed, cosine to 10%}), selected by held-out loss")
+            f"PSGD (best of {len(psgd_arms)} arms at the reference-scaled "
+            f"lr 1e-3/4: fixed/cosine) vs BEST-of-{len(adamw_arms)} AdamW "
+            "arm (lr {3e-4, 1e-3} x {fixed, cosine to 10%}), selected by "
+            "held-out loss")
         result["detail"]["adamw_arms"] = [
             {k: (round(v, 4) if isinstance(v, float) else v)
              for k, v in a.items() if k != "curve"} for a in adamw_arms]
@@ -616,9 +655,14 @@ if __name__ == "__main__":
         for a in sys.argv[1:]:
             if a.startswith("--seed="):
                 seed = int(a.split("=", 1)[1])
+        arm = None
+        for a in sys.argv[1:]:
+            if a.startswith("--arm="):
+                arm = a.split("=", 1)[1]
         convergence(int(extra[0]) if extra else 1000, data_seed=seed,
                     anneal="--anneal" in sys.argv,
-                    sweep="--sweep" in sys.argv)
+                    sweep="--sweep" in sys.argv, only_arm=arm,
+                    merge_only="--merge" in sys.argv)
     elif "--medium" in sys.argv:
         main(medium=True)
     else:
